@@ -1,0 +1,52 @@
+"""Penetrating shortwave absorption: Simpson & Paulson (1977) two-band model.
+
+Reimplements the reference's swfrac routines
+(mckpp_physics_swfrac_mod.F90:14-79, mckpp_fluxes_mod.F90:121-137).
+``jerlov`` is a 0-based water-type index 0..4 = I, IA, IB, II, III
+(the reference uses 1-based 1..5).
+
+Note the asymmetry preserved from the reference: the per-level cached version
+(:func:`swfrac_levels`, used by bldepth) clips the exponent at rmin=-80,
+while :func:`swdk` (used for the hbl evaluation and the non-turbulent flux
+profile wXNT via mckpp_fluxes_swdk) — the "_opt" cached variant clips, the
+plain mckpp_fluxes_swdk does not.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as c
+
+_RFAC = jnp.asarray(c.JERLOV_RFAC)
+_A1 = jnp.asarray(c.JERLOV_A1)
+_A2 = jnp.asarray(c.JERLOV_A2)
+
+
+def swfrac_levels(fact, zm, jerlov):
+    """Cached per-level sw fraction with rmin clipping
+    (reference: MCKPP_PHYSICS_SWFRAC_OPT, mckpp_physics_swfrac_mod.F90:14-43).
+
+    zm: (nzp1,) level depths (<0); jerlov: scalar int index (0-based).
+    Returns (nzp1,) fractions.
+    """
+    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    r1 = jnp.maximum(zm * fact / a1, c.SWFRAC_RMIN)
+    r2 = jnp.maximum(zm * fact / a2, c.SWFRAC_RMIN)
+    return rfac * jnp.exp(r1) + (1.0 - rfac) * jnp.exp(r2)
+
+
+def swfrac(fact, z, jerlov):
+    """Pointwise sw fraction with rmin clipping
+    (reference: MCKPP_PHYSICS_SWFRAC, mckpp_physics_swfrac_mod.F90:49-79)."""
+    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    r1 = jnp.maximum(z * fact / a1, c.SWFRAC_RMIN)
+    r2 = jnp.maximum(z * fact / a2, c.SWFRAC_RMIN)
+    return rfac * jnp.exp(r1) + (1.0 - rfac) * jnp.exp(r2)
+
+
+def swdk(z, jerlov):
+    """Unclipped sw decay used for the solar-heating profile
+    (reference: mckpp_fluxes_swdk, mckpp_fluxes_mod.F90:121-137)."""
+    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    return rfac * jnp.exp(z / a1) + (1.0 - rfac) * jnp.exp(z / a2)

@@ -1,0 +1,24 @@
+import os
+import sys
+
+# The ambient environment forces JAX_PLATFORMS=axon (single tunnelled TPU
+# chip).  The test suite must be hermetic and parallel-safe, so force CPU
+# with a virtual 8-device mesh and deregister the axon backend factory
+# entirely — otherwise backend init dials the TPU relay even under
+# JAX_PLATFORMS=cpu and can block on a stale claim.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+for _plat in ("axon", "tpu"):
+    _xb._backend_factories.pop(_plat, None)
+
+# sitecustomize imports jax at interpreter start with JAX_PLATFORMS=axon
+# already read; override the cached config value too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
