@@ -35,15 +35,18 @@ def build_tables(dtype=np.float64):
     zeta = zehat / (usta ** 3 + epsln)
 
     wm_stable = c.VONK * usta / (1.0 + c.C1_WS * zeta)
+    # np.cbrt handles the (discarded) negative-argument entries of the
+    # deep-unstable branches without warnings; where selected, the
+    # arguments are provably positive (zeta <= zetam/zetas).
     wm_unst = np.where(
         zeta > c.ZETAM,
         c.VONK * usta * np.abs(1.0 - c.C2_WS * zeta) ** 0.25,
-        c.VONK * (c.AM * usta ** 3 - c.CM * zehat) ** (1.0 / 3.0),
+        c.VONK * np.cbrt(c.AM * usta ** 3 - c.CM * zehat),
     )
     ws_unst = np.where(
         zeta > c.ZETAS,
         c.VONK * usta * np.abs(1.0 - c.C3_WS * zeta) ** 0.5,
-        c.VONK * (c.AS_WS * usta ** 3 - c.CS * zehat) ** (1.0 / 3.0),
+        c.VONK * np.cbrt(c.AS_WS * usta ** 3 - c.CS * zehat),
     )
     stable = zehat >= 0.0
     wmt = np.where(stable, wm_stable, wm_unst)
