@@ -1,0 +1,129 @@
+"""Main program: the TPU-native equivalent of PROGRAM mckpp_ocean_model_3d
+(mckpp_ocean_model_3D.F90:22-76).
+
+Usage:  python -m mckpp_tpu.cli [--namelist 3D_ocn.nml] [--data-dir DIR]
+        [--output-dir DIR] [--steps N] [--devices all|1]
+
+Reads the reference-format namelist, assembles the model (setup.build),
+and runs the time loop with per-step flux/boundary updates, diagnostic
+streams, restart writes and the named-timer report.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .utils import namelist as nml
+from .utils.timer import Timers
+from .utils.logging import mckpp_print
+from . import setup as setup_mod
+from . import forcing as forcing_mod
+from .io.diagnostics import DiagnosticsManager, default_streams
+from .io.restart import RestartControl
+from .parallel import sharding as shard
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native MC-KPP ocean model")
+    p.add_argument("--namelist", default="3D_ocn.nml")
+    p.add_argument("--data-dir", default=".")
+    p.add_argument("--output-dir", default=".")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override number of ocean timesteps")
+    p.add_argument("--multi-device", action="store_true",
+                   help="shard the column axis over all local devices")
+    args = p.parse_args(argv)
+
+    routine = "MCKPP_TPU_MAIN"
+    timers = Timers()
+    timers.start("Initialization")
+    cfg, extras = nml.load_config(args.namelist)
+    mckpp_print(routine, f"read namelist {args.namelist}")
+    model, st, prm, frc, flux_provider, mgr = setup_mod.build(
+        cfg, args.data_dir)
+    ncol = st.u.shape[0]
+    mckpp_print(routine, f"initialized {ncol} columns x {model.grid.nz} levels")
+
+    step_fn = model.step
+    ncol0 = ncol
+    unpad = lambda tree: tree
+    if args.multi_device and len(jax.devices()) > 1:
+        mesh = shard.make_mesh()
+        n = len(mesh.devices.flat)
+        st, ncol0 = shard.pad_columns(st, n)
+        prm, _ = shard.pad_columns(prm, n)
+        frc, _ = shard.pad_columns(frc, n)
+        st = shard.shard_columns(st, mesh)
+        prm = shard.shard_columns(prm, mesh)
+        frc = shard.shard_columns(frc, mesh)
+        ncol = jax.tree_util.tree_leaves(st)[0].shape[0]
+        sharded = shard.make_sharded_step(model, mesh)
+
+        def step_fn(s, pr, fr, first_step=False):
+            return sharded(s, pr, fr, jnp.asarray(first_step))
+
+        def unpad(tree):
+            return shard.unpad_columns(tree, ncol0)
+
+        if flux_provider is not None:
+            inner_provider = flux_provider
+
+            def flux_provider(time_days):
+                raw = inner_provider(time_days)
+                padded, _ = shard.pad_columns(raw, n)
+                return padded
+
+        mckpp_print(routine, f"sharded over {n} devices")
+
+    diag = DiagnosticsManager(
+        default_streams(cfg.time.ndtocn), cfg.domain.nx, cfg.domain.ny,
+        model.grid.zm, outdir=args.output_dir,
+        start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto)
+    restart = RestartControl(
+        f"{args.output_dir}/{cfg.output.restart_outfile}",
+        cfg.output.ndt_per_restart, cfg.time.num_timesteps,
+        cfg.time.dto, cfg.time.startt)
+    timers.stop("Initialization")
+
+    num_steps = args.steps or cfg.time.num_timesteps
+    mckpp_print(routine, f"timestepping loop: {num_steps} steps")
+    for nt in range(1, num_steps + 1):
+        time_days = cfg.time.startt + (nt - 1) * cfg.time.dto / 86400.0
+        if (nt - 1) % cfg.time.ndtocn == 0:
+            timers.start("Update surface fluxes")
+            if flux_provider is not None:
+                raw = flux_provider(time_days)
+            else:
+                raw = forcing_mod.constant_test_fluxes(ncol, model.dtype)
+            st, frc = forcing_mod.update_fluxes(
+                cfg, st, prm, frc, raw, jnp.asarray(nt <= 1), model.grid.dm)
+            timers.stop("Update surface fluxes")
+        if nt != 1:
+            timers.start("Update ancillaries")
+            frc = mgr.update(nt, time_days, frc)
+            timers.stop("Update ancillaries")
+        timers.start("Physics")
+        st = step_fn(st, prm, frc, first_step=(nt <= 1))
+        timers.stop("Physics")
+        timers.start("Diagnostic output")
+        diag.step(nt, unpad(st), unpad(prm), unpad(frc))
+        timers.stop("Diagnostic output")
+        timers.start("Restart output")
+        if cfg.output.l_restartw:
+            restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
+        timers.stop("Restart output")
+
+    paths = diag.flush()
+    mckpp_print(routine, f"wrote diagnostics: {sorted(paths.values())}")
+    mckpp_print(routine, f"wrote restarts: {restart.written}")
+    print(timers.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,326 @@
+"""Ancillary/forcing file readers + boundary-condition update manager.
+
+Host-side replacement for the reference's per-field reader modules
+(mckpp_read_*.F90) and the boundary-update dispatcher
+(mckpp_boundary_update_mod.F90:24-124), with the reference's update-time
+semantics (mckpp_time_control.F90:71-167):
+
+* method 1: read-time = time + half the update period;
+* method 2: floor-quantized read-time (used by the 3-D T/S climatologies
+  and the 2-D corrections);
+* periodic climatology wrap (subtract the period until within the file);
+* abort unless the record exists within 0.01*dtsec tolerance.
+
+Each reader lazily resolves the model domain's (lon, lat) offsets inside
+the ancillary grid on first use and caches the file's time axis, exactly as
+the reference's ``initialize_*`` routines do.  Fields are returned as
+flattened ``(npts,)`` / ``(npts, nzp1)`` arrays matching the model layout
+(``ipt = (j-1)*nx + i``).
+
+Per-reader quirks preserved: SST/bottom-temperature Kelvin autoconversion;
+salinity climatology has Sref removed; 3-D temperature validates the file's
+level count; methods per reader match the reference call sites.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as c
+from ..config import KppConfig
+from ..state import Forcing, ColumnParams
+from .. import forcing as forcing_mod
+from . import ncio
+
+SPD = c.SPD
+
+
+def get_update_time(time: float, ndt_update: int, file_times: np.ndarray,
+                    periodic: bool, period: int, dto: float, dtsec: float,
+                    method: int = 1):
+    """Compute (update_time, 0-based record index); abort if absent.
+
+    Mirrors mckpp_get_update_time (mckpp_time_control.F90:71-167); the
+    record index falls back to a nearest-match on the wrapped time where the
+    reference's unwrapped-position arithmetic would run off the axis.
+    """
+    upd_days = ndt_update * dto / SPD
+    if method == 2:
+        # integer-arithmetic quantization (mckpp_time_control.F90:142-154)
+        q = (math.floor(time) * round(SPD)) // (ndt_update * round(dto))
+        update_time = upd_days * q + 0.5 * dto / SPD * ndt_update
+    else:
+        update_time = time + 0.5 * upd_days
+
+    if update_time > file_times[-1]:
+        if not periodic:
+            raise ncio.NetCDFError(
+                f"time to read {update_time} exceeds the last time in the "
+                "file and periodic reads have not been specified")
+        while update_time > file_times[-1]:
+            update_time -= period
+
+    pos = int(np.argmin(np.abs(file_times - update_time)))
+    if abs(file_times[pos] - update_time) > 0.01 * dtsec / SPD:
+        raise ncio.NetCDFError(
+            f"cannot find time {update_time} in ancillary file "
+            f"(closest {file_times[pos]})")
+    return update_time, pos
+
+
+class AncillaryReader:
+    """Lazy-initialized reader for one ancillary file."""
+
+    def __init__(self, path: str, lon0: float, lat0: float,
+                 nx: int, ny: int, time_name: str = "t"):
+        self.path = path
+        self.lon0, self.lat0 = lon0, lat0
+        self.nx, self.ny = nx, ny
+        self.time_name = time_name
+        self._init = False
+        self.offsets = (0, 0)
+        self.file_times: Optional[np.ndarray] = None
+        self.nz_in: Optional[int] = None
+
+    def _initialize(self, nc):
+        self.offsets = ncio.determine_boundaries(nc, self.lon0, self.lat0)
+        self.file_times = ncio.get_time_axis(nc, (self.time_name, "time", "t"))
+        if "z" in nc.variables:
+            self.nz_in = len(nc.variables["z"][:])
+        self._init = True
+
+    def read2d(self, var: str, pos: int) -> np.ndarray:
+        """(npts,) slab at time index pos (file layout (t, y, x))."""
+        with ncio.open_nc(self.path) as nc:
+            if not self._init:
+                self._initialize(nc)
+            olon, olat = self.offsets
+            data = ncio.get_var(nc, var)[pos,
+                                         olat:olat + self.ny,
+                                         olon:olon + self.nx]
+        return data.reshape(-1)
+
+    def read3d(self, var: str, pos: int, nzp1: int) -> np.ndarray:
+        """(npts, nzp1) slab at time index pos (file layout (t, z, y, x))."""
+        with ncio.open_nc(self.path) as nc:
+            if not self._init:
+                self._initialize(nc)
+            olon, olat = self.offsets
+            data = ncio.get_var(nc, var)[pos, :,
+                                         olat:olat + self.ny,
+                                         olon:olon + self.nx]
+        nz_in = data.shape[0]
+        if nz_in != nzp1:
+            raise ncio.NetCDFError(
+                f"{self.path}:{var} has {nz_in} levels, expected {nzp1}")
+        return np.moveaxis(data, 0, -1).reshape(-1, nzp1)
+
+    def times(self) -> np.ndarray:
+        if not self._init:
+            with ncio.open_nc(self.path) as nc:
+                self._initialize(nc)
+        return self.file_times
+
+
+def _kelvin_to_celsius(a: np.ndarray) -> np.ndarray:
+    if np.any((a > 200.0) & (a < 400.0)):
+        return a - c.TK0
+    return a
+
+
+class FluxFileReader:
+    """Forcing-file reader (mckpp_read_fluxes_mod.F90): taux, tauy, swf,
+    lwf, lhf, shf, precip at the ndtocn cadence; snow = 0."""
+
+    def __init__(self, cfg: KppConfig, lon0: float, lat0: float):
+        d = cfg.domain
+        self.cfg = cfg
+        self.rd = AncillaryReader(cfg.forcing.forcing_file, lon0, lat0,
+                                  d.nx, d.ny, time_name="time")
+
+    def __call__(self, time_days: float) -> forcing_mod.RawFluxes:
+        t = self.cfg.time
+        _, pos = get_update_time(time_days, t.ndtocn, self.rd.times(),
+                                 False, 0, t.dto, t.dtsec, method=1)
+        g = lambda v: jnp.asarray(self.rd.read2d(v, pos))
+        taux = g("taux")
+        return forcing_mod.RawFluxes(
+            taux=taux, tauy=g("tauy"), swf=g("swf"), lwf=g("lwf"),
+            lhf=g("lhf"), shf=g("shf"), rain=g("precip"),
+            snow=jnp.zeros_like(taux))
+
+
+class BoundaryManager:
+    """Applies the per-field ancillary cadences each step
+    (mckpp_boundary_update_mod.F90) and the initial reads
+    (mckpp_initialize_fields_mod.F90:70-118)."""
+
+    def __init__(self, cfg: KppConfig, lon0: float, lat0: float,
+                 nzp1: int, sref: np.ndarray):
+        self.cfg = cfg
+        self.nzp1 = nzp1
+        self.sref = np.asarray(sref)
+        d, f, b = cfg.domain, cfg.forcing, cfg.boundary
+        mk = lambda path: AncillaryReader(path, lon0, lat0, d.nx, d.ny)
+        self.sst = mk(b.sst_file) if b.l_climsst or b.l_upd_climsst else None
+        self.ice = mk(b.ice_file) if b.l_climice or b.l_upd_climice else None
+        self.fcorr = mk(f.fcorr_file) if (f.l_fcorr or f.l_fcorr_withz) else None
+        self.sfcorr = mk(f.sfcorr_file) if (f.l_sfcorr or f.l_sfcorr_withz) else None
+        self.bottom = mk(f.bottom_file) if f.l_vary_bottom_temp else None
+        need_ocnt = (b.l_relax_ocnt or f.l_upd_ocnt or f.l_no_isotherm)
+        need_sal = (b.l_relax_sal or f.l_upd_sal or f.l_no_isotherm)
+        self.ocnt = mk(f.ocnt_file) if need_ocnt else None
+        self.sal = mk(f.sal_file) if need_sal else None
+
+    # ---- individual reads -------------------------------------------------
+    def _upd(self, reader, ndt, periodic, period, method):
+        t = self.cfg.time
+        return get_update_time(self._time, ndt, reader.times(), periodic,
+                               period, t.dto, t.dtsec, method=method)
+
+    def read_sst(self, frc: Forcing) -> Forcing:
+        f, b = self.cfg.forcing, self.cfg.boundary
+        _, pos = self._upd(self.sst, b.ndtupdsst, b.l_periodic_climsst,
+                           b.climsst_period, 1)
+        sst = _kelvin_to_celsius(self.sst.read2d("sst", pos))
+        # uncoupled: SST0 is the (ifirst=jfirst=1) slice = the whole domain
+        # (mckpp_physics_overrides_sst0)
+        return dataclasses.replace(frc, sst0=jnp.asarray(sst))
+
+    def read_fcorr(self, frc: Forcing) -> Forcing:
+        f = self.cfg.forcing
+        if f.l_fcorr_withz:
+            _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
+                               f.fcorr_period, 1)
+            fz = self.fcorr.read3d("fcorr", pos, self.nzp1)
+            return dataclasses.replace(frc, fcorr_withz=jnp.asarray(fz))
+        _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
+                           f.fcorr_period, 2)
+        f2 = self.fcorr.read2d("fcorr", pos)
+        return dataclasses.replace(frc, fcorr_twod=jnp.asarray(f2))
+
+    def read_sfcorr(self, frc: Forcing) -> Forcing:
+        f = self.cfg.forcing
+        if f.l_sfcorr_withz:
+            _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr,
+                               f.l_periodic_sfcorr, f.sfcorr_period, 1)
+            sz = self.sfcorr.read3d("sfcorr", pos, self.nzp1)
+            return dataclasses.replace(frc, sfcorr_withz=jnp.asarray(sz))
+        _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr, f.l_periodic_sfcorr,
+                           f.sfcorr_period, 2)
+        s2 = self.sfcorr.read2d("sfcorr", pos)
+        return dataclasses.replace(frc, sfcorr_twod=jnp.asarray(s2))
+
+    def read_bottom(self, frc: Forcing) -> Forcing:
+        f = self.cfg.forcing
+        _, pos = self._upd(self.bottom, f.ndtupdbottom,
+                           f.l_periodic_bottom_temp, f.bottom_temp_period, 1)
+        bt = _kelvin_to_celsius(self.bottom.read2d("T", pos))
+        return dataclasses.replace(frc, bottom_temp=jnp.asarray(bt))
+
+    def read_ocnt(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
+        f = self.cfg.forcing
+        saved = self._time
+        if at_time is not None:
+            self._time = at_time
+        try:
+            _, pos = self._upd(self.ocnt, f.ndtupdocnt, f.l_periodic_ocnt,
+                               f.ocnt_period, 2)
+        finally:
+            self._time = saved
+        t3 = self.ocnt.read3d("temperature", pos, self.nzp1)
+        return dataclasses.replace(frc, ocnt_clim=jnp.asarray(t3))
+
+    def read_sal(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
+        f = self.cfg.forcing
+        saved = self._time
+        if at_time is not None:
+            self._time = at_time
+        try:
+            _, pos = self._upd(self.sal, f.ndtupdsal, f.l_periodic_sal,
+                               f.sal_period, 2)
+        finally:
+            self._time = saved
+        s3 = self.sal.read3d("salinity", pos, self.nzp1) - self.sref[:, None]
+        return dataclasses.replace(frc, sal_clim=jnp.asarray(s3))
+
+    # ---- time interpolation (mckpp_boundary_interpolate.F90) -------------
+    def _interp(self, frc, read_fn, ndt_upd, period, field):
+        true_time = int(self._time)
+        nd = ndt_upd * self.cfg.time.dto / SPD
+        prev_time = int(math.floor((true_time + nd / 2) / nd) * nd - nd * 0.5)
+        if prev_time < 0:
+            prev_weight = (nd - abs(true_time - prev_time)) / nd
+            prev_time = prev_time + period
+        else:
+            prev_weight = (nd - (true_time - prev_time)) / nd
+        next_time = prev_time + nd
+        next_weight = 1.0 - prev_weight
+        prev = np.asarray(getattr(read_fn(frc, at_time=prev_time), field))
+        nxt = np.asarray(getattr(read_fn(frc, at_time=next_time), field))
+        blend = jnp.asarray(nxt * next_weight + prev * prev_weight)
+        return dataclasses.replace(frc, **{field: blend})
+
+    def interp_ocnt(self, frc: Forcing) -> Forcing:
+        f = self.cfg.forcing
+        return self._interp(frc, self.read_ocnt, f.ndtupdocnt,
+                            f.ocnt_period, "ocnt_clim")
+
+    def interp_sal(self, frc: Forcing) -> Forcing:
+        f = self.cfg.forcing
+        return self._interp(frc, self.read_sal, f.ndtupdsal,
+                            f.sal_period, "sal_clim")
+
+    # ---- initialization-time reads (initialize_fields) -------------------
+    def initial_reads(self, time_days: float, frc: Forcing) -> Forcing:
+        self._time = time_days
+        cfg = self.cfg
+        f, b = cfg.forcing, cfg.boundary
+        if b.l_climsst:
+            frc = self.read_sst(frc)
+        if f.l_fcorr_withz or f.l_fcorr:
+            frc = self.read_fcorr(frc)
+        if f.l_sfcorr_withz or f.l_sfcorr:
+            frc = self.read_sfcorr(frc)
+        if f.l_vary_bottom_temp:
+            frc = self.read_bottom(frc)
+        if b.l_relax_ocnt:
+            frc = self.interp_ocnt(frc) if f.l_interp_ocnt else self.read_ocnt(frc)
+        if b.l_relax_sal:
+            frc = self.interp_sal(frc) if f.l_interp_sal else self.read_sal(frc)
+        if f.l_no_isotherm and not b.l_relax_sal and not b.l_relax_ocnt:
+            frc = self.read_ocnt(frc)
+            frc = self.read_sal(frc)
+        return frc
+
+    # ---- per-step dispatcher (mckpp_boundary_update_mod.F90:24-124) ------
+    def update(self, ntime: int, time_days: float, frc: Forcing) -> Forcing:
+        cfg = self.cfg
+        f, b = cfg.forcing, cfg.boundary
+        self._time = time_days
+
+        def due(ndt):
+            return (ntime - 1) % ndt == 0
+
+        if b.l_upd_climsst and due(b.ndtupdsst):
+            frc = self.read_sst(frc)
+        if f.l_upd_fcorr and due(f.ndtupdfcorr) and (f.l_fcorr_withz or f.l_fcorr):
+            frc = self.read_fcorr(frc)
+        if f.l_upd_sfcorr and due(f.ndtupdsfcorr) and (f.l_sfcorr_withz or f.l_sfcorr):
+            frc = self.read_sfcorr(frc)
+        if f.l_upd_bottom_temp and due(f.ndtupdbottom):
+            frc = self.read_bottom(frc)
+        if f.l_upd_sal and not f.l_interp_sal and due(f.ndtupdsal):
+            frc = self.read_sal(frc)
+        elif f.l_upd_sal and f.l_interp_sal and due(f.ndt_interp_sal):
+            frc = self.interp_sal(frc)
+        if f.l_upd_ocnt and not f.l_interp_ocnt and due(f.ndtupdocnt):
+            frc = self.read_ocnt(frc)
+        elif f.l_upd_ocnt and f.l_interp_ocnt and due(f.ndt_interp_ocnt):
+            frc = self.interp_ocnt(frc)
+        return frc

@@ -1,0 +1,103 @@
+"""NetCDF read/write wrapper (the reference's mckpp_netcdf_read.F90 layer).
+
+Backed by scipy's NetCDF3 implementation (no libnetcdf dependency in this
+environment).  Semantics preserved from the reference:
+
+* :func:`determine_boundaries` locates the (lon, lat) start offsets of the
+  model domain inside a larger ancillary grid, aborting unless a match is
+  found within 1e-3 degrees (mckpp_netcdf_read.F90:68-118);
+* :func:`get_var` reads with optional start offsets (1-based in the
+  reference; 0-based here);
+* every failure raises with file/variable context (the reference's
+  ``check()`` + abort, :421-432).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional, Sequence
+
+import numpy as np
+from scipy.io import netcdf_file
+
+
+class NetCDFError(RuntimeError):
+    pass
+
+
+@contextlib.contextmanager
+def open_nc(path: str, mode: str = "r"):
+    try:
+        f = netcdf_file(path, mode, mmap=False)
+    except OSError as e:
+        raise NetCDFError(f"cannot open {path}: {e}") from e
+    try:
+        yield f
+    finally:
+        f.close()
+
+
+def get_coord(nc, name: str):
+    """Coordinate variable values + length."""
+    if name not in nc.variables:
+        raise NetCDFError(f"coordinate {name} not found")
+    v = nc.variables[name][:].copy()
+    return np.asarray(v, dtype=np.float64), len(v)
+
+
+def get_var(nc, name: str, start: Optional[Sequence[int]] = None,
+            count: Optional[Sequence[int]] = None) -> np.ndarray:
+    """Read a variable, optionally a hyperslab given 0-based start/count."""
+    if name not in nc.variables:
+        raise NetCDFError(f"variable {name} not found")
+    v = nc.variables[name]
+    data = v[:]
+    if start is not None:
+        sl = tuple(slice(s, (s + c) if count is not None else None)
+                   for s, c in zip(start, count or [None] * len(start)))
+        data = data[sl]
+    return np.asarray(data, dtype=np.float64).copy()
+
+
+def determine_boundaries(nc, lon0: float, lat0: float,
+                         lon_name: str = "longitude",
+                         lat_name: str = "latitude"):
+    """Find 0-based (offset_lon, offset_lat) of the model origin in the
+    file's coordinate axes; abort if no match within 1e-3 degrees
+    (reference: mckpp_netcdf_determine_boundaries)."""
+    lons, _ = get_coord(nc, lon_name)
+    lats, _ = get_coord(nc, lat_name)
+    ilon = np.argmin(np.abs(lons - lon0))
+    ilat = np.argmin(np.abs(lats - lat0))
+    if abs(lons[ilon] - lon0) > 1e-3:
+        raise NetCDFError(
+            f"model origin longitude {lon0} not found (closest {lons[ilon]})")
+    if abs(lats[ilat] - lat0) > 1e-3:
+        raise NetCDFError(
+            f"model origin latitude {lat0} not found (closest {lats[ilat]})")
+    return int(ilon), int(ilat)
+
+
+def get_time_axis(nc, names=("time", "t")) -> np.ndarray:
+    for n in names:
+        if n in nc.variables:
+            return np.asarray(nc.variables[n][:], dtype=np.float64).copy()
+    raise NetCDFError("no time axis found")
+
+
+def write_fields(path: str, dims: dict, coords: dict, fields: dict,
+                 attrs: Optional[dict] = None):
+    """Write a NetCDF3 file: dims {name: size or None (unlimited)},
+    coords {name: (dimname, values)}, fields {name: (dims-tuple, array)}."""
+    with netcdf_file(path, "w", mmap=False) as nc:
+        for name, size in dims.items():
+            nc.createDimension(name, size)
+        for name, (dim, vals) in coords.items():
+            v = nc.createVariable(name, "d", (dim,))
+            v[:] = np.asarray(vals, dtype=np.float64)
+        for name, (fdims, arr) in fields.items():
+            v = nc.createVariable(name, "d", tuple(fdims))
+            v[:] = np.asarray(arr, dtype=np.float64)
+        if attrs:
+            for k, val in attrs.items():
+                setattr(nc, k, val)

@@ -88,6 +88,45 @@ class KppModel:
         st = self._init_jit(st, prm, frc)
         return st, prm, frc
 
+    def warm_start(self, u0, t0, s0, prm: ColumnParams):
+        """Fast benchmark/bring-up initialization: seed the two-level
+        history and the shortwave caches WITHOUT the initial per-column
+        vertical-mixing pass (which exists for reference parity of the
+        first step's diagnostics, not for the trajectory physics).
+        Use :meth:`initial_state` for reference-parity runs."""
+        ncol, nzp1 = t0.shape
+        sref = (s0[:, 0] + s0[:, -1]) / 2.0
+        prm = dataclasses.replace(prm, sref=jnp.asarray(sref, self.dtype),
+                                  ssref=jnp.asarray(sref, self.dtype),
+                                  u_init=jnp.asarray(u0, self.dtype))
+        st = init_state(ncol, nzp1, self.dtype)
+        x = jnp.stack([t0, s0 - sref[:, None]], axis=-1).astype(self.dtype)
+        u = jnp.asarray(u0, self.dtype)
+
+        @jax.jit
+        def seed(st, prm, x, u):
+            swf = jax.vmap(lambda j: swfrac_levels(1.0, self.grid.zm, j))(prm.jerlov)
+            from ..ops.swfrac import swdk as _swdk
+            swdk_opt = jax.vmap(lambda j: _swdk(-self.grid.dm, j))(prm.jerlov)
+            from ..ops.eos import abk80, cpsw
+            s_abs = x[..., 1] + prm.sref[:, None]
+            alpha, beta, _, sig0, _ = abk80(s_abs, x[..., 0], -self.grid.zm)
+            return dataclasses.replace(
+                st, u=u, x=x,
+                us=jnp.stack([u, u], axis=-1), xs=jnp.stack([x, x], axis=-1),
+                hmixd=jnp.stack([st.hmix, st.hmix], axis=-1),
+                swfrac=swf.astype(self.dtype),
+                swdk_opt=swdk_opt.astype(self.dtype),
+                rho=1000.0 + sig0, cp=cpsw(s_abs, x[..., 0], -self.grid.zm),
+                talpha=alpha, sbeta=beta,
+                tref=x[:, 0, 0], ssurf=prm.ssref,
+                old=jnp.zeros((ncol,), jnp.int32),
+                new=jnp.ones((ncol,), jnp.int32))
+
+        st = seed(st, prm, x, u)
+        frc = init_forcing(ncol, nzp1, self.dtype)
+        return st, prm, frc
+
     def _init_columns(self, st: State, prm: ColumnParams, frc: Forcing):
         grid, wmt, wst = self.grid, self.wmt, self.wst
         ph = self.cfg.physics

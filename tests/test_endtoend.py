@@ -1,0 +1,174 @@
+"""End-to-end CLI test: reference-format namelist + synthetic NetCDF inputs
+-> full run with file forcing, ancillary updates, diagnostics and restarts
+(the TerraMaris-style workflow of SURVEY.md section 4 at toy scale)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mckpp_tpu.io import ncio
+from mckpp_tpu.utils import namelist as nml
+
+NX, NY, NZ = 4, 3, 10
+DMAX = 100.0
+SPD = 86400.0
+DTSEC = 3600.0
+NDTOCN = 3
+
+
+def write_inputs(d):
+    lons = 90.0 + 0.5 * np.arange(NX)
+    lats = -5.0 + 0.5 * np.arange(NY)
+    # land-sea mask: one land point
+    lsm = np.zeros((NY, NX))
+    lsm[0, 0] = 1.0
+    depth = np.full((NY, NX), -1000.0)
+    ncio.write_fields(
+        str(d / "lsm.nc"),
+        {"longitude": NX, "latitude": NY},
+        {"longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+        {"lsm": (("latitude", "longitude"), lsm),
+         "max_depth": (("latitude", "longitude"), depth)})
+
+    # vertical grid (uniform, but via the file path)
+    h = np.full(NZ, DMAX / NZ)
+    zf = -(np.cumsum(h) - 0.5 * h)
+    dd = np.cumsum(h)
+    ncio.write_fields(str(d / "vgrid.nc"), {"z": NZ},
+                      {"z": ("z", zf)},
+                      {"d": (("z",), dd), "h": (("z",), h)})
+
+    # initial conditions on their own z-grids
+    zin = -np.asarray([1.0, 20.0, 50.0, 120.0])
+    t_in = 25.0 + 8.0 * (1.0 - np.exp(-zin / 60.0))      # warm surface
+    t_prof = np.tile(t_in[:, None, None], (1, NY, NX))
+    s_prof = np.tile((35.0 + 0.01 * np.abs(zin))[:, None, None], (1, NY, NX))
+    uv = np.zeros((len(zin), NY, NX))
+    ncio.write_fields(
+        str(d / "init.nc"),
+        {"zvel": len(zin), "ztemp": len(zin), "zsal": len(zin),
+         "longitude": NX, "latitude": NY},
+        {"zvel": ("zvel", zin), "ztemp": ("ztemp", zin), "zsal": ("zsal", zin),
+         "longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+        {"u": (("zvel", "latitude", "longitude"), uv),
+         "v": (("zvel", "latitude", "longitude"), uv),
+         "temp": (("ztemp", "latitude", "longitude"), t_prof),
+         "sal": (("zsal", "latitude", "longitude"), s_prof)})
+
+    # forcing fluxes on the ndtocn cadence (time at window centres)
+    ntimes = 30
+    ftimes = (np.arange(ntimes) + 0.5) * DTSEC / SPD
+    shp = (ntimes, NY, NX)
+    ncio.write_fields(
+        str(d / "fluxes.nc"),
+        {"time": ntimes, "longitude": NX, "latitude": NY},
+        {"time": ("time", ftimes),
+         "longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+        {"taux": (("time", "latitude", "longitude"), np.full(shp, 0.05)),
+         "tauy": (("time", "latitude", "longitude"), np.zeros(shp)),
+         "swf": (("time", "latitude", "longitude"), np.full(shp, 220.0)),
+         "lwf": (("time", "latitude", "longitude"), np.full(shp, -50.0)),
+         "lhf": (("time", "latitude", "longitude"), np.full(shp, -110.0)),
+         "shf": (("time", "latitude", "longitude"), np.full(shp, -10.0)),
+         "precip": (("time", "latitude", "longitude"), np.full(shp, 5e-5))})
+
+    # optics: jerlov water types
+    ncio.write_fields(
+        str(d / "paras.nc"),
+        {"longitude": NX, "latitude": NY},
+        {"longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+        {"jerlov": (("latitude", "longitude"), np.full((NY, NX), 3.0))})
+
+    namelist = f"""
+ &NAME_PARAMETERS
+ nz={NZ}, nx={NX}, ny={NY}, ngrid={NZ}, nztmax={NZ+14},
+ nx_globe={NX}, ny_globe={NY}
+ &END
+ &NAME_CONSTANTS &END
+ &NAME_PROCSWIT &END
+ &NAME_DOMAIN
+ dmax={DMAX}, L_REGGRID=.F., L_VGRID_FILE=.T., vgrid_file='vgrid.nc',
+ alon=90.0, alat=-5.0
+ &END
+ &NAME_LANDSEA
+ L_LANDSEA=.T., landsea_file='lsm.nc'
+ &END
+ &NAME_START
+ L_INITDATA=.T., initdata_file='init.nc', L_RESTART=.F., L_INTERPINIT=.T.
+ &END
+ &NAME_TIMES
+ dtsec={DTSEC}, startt=0.0, finalt=0.25, ndtocn={NDTOCN}
+ &END
+ &NAME_COUPLE L_COUPLE=.F. &END
+ &NAME_ADVEC L_ADVECT=.F. &END
+ &NAME_PARAS
+ paras_file='paras.nc', L_JERLOV=.T.
+ &END
+ &NAME_FORCING
+ L_FLUXDATA=.T., forcing_file='fluxes.nc'
+ &END
+ &NAME_OUTPUT
+ L_RESTARTW=.T., restart_outfile='restart_out', ndt_per_restart=9
+ &END
+"""
+    (d / "3D_ocn.nml").write_text(namelist)
+
+
+def test_namelist_ingests_reference_file():
+    """Our parser must ingest the reference's actual TerraMaris namelist."""
+    with open("/root/reference/run/3D_ocn.nml") as f:
+        cfg, extras = nml.config_from_namelist(f.read())
+    assert cfg.domain.nx == 453 and cfg.domain.ny == 319
+    assert cfg.domain.nz == 69
+    assert cfg.domain.l_vgrid_file and cfg.domain.vgrid_file == "kpp_vgrid.nc"
+    assert cfg.time.dtsec == 3600.0 and cfg.time.ndtocn == 3
+    assert cfg.time.startt == 304.0 and cfg.time.finalt == 305.0
+    assert cfg.time.dto == 1200.0
+    assert cfg.time.num_timesteps == 72          # one model day
+    assert cfg.forcing.l_fluxdata
+    assert cfg.forcing.forcing_file == "fluxes.nc"
+    assert not cfg.boundary.l_relax_sst
+    assert cfg.output.ndt_per_restart == 72
+    assert cfg.init.paras_file == "aqua_paras.nc" and not cfg.init.l_jerlov
+
+
+def test_cli_full_run(tmp_path):
+    write_inputs(tmp_path)
+    out = tmp_path / "out"
+    out.mkdir()
+    from mckpp_tpu import cli
+    rc = cli.main(["--namelist", str(tmp_path / "3D_ocn.nml"),
+                   "--data-dir", str(tmp_path),
+                   "--output-dir", str(out),
+                   "--steps", "9"])
+    assert rc == 0
+    # diagnostics written
+    inst = out / "kpp_1h_inst.nc"
+    assert inst.exists()
+    with ncio.open_nc(str(inst)) as nc:
+        t = ncio.get_var(nc, "T")
+        hmix = ncio.get_var(nc, "hmix")
+    assert t.shape == (3, NZ + 1, NY, NX)        # 9 steps / every 3
+    assert np.all(np.isfinite(t))
+    # land column (y=0,x=0) keeps its initial surface temperature
+    assert hmix.shape == (3, NY, NX)
+    # restart written at step 9
+    rs = list(out.glob("restart_out_*.npz"))
+    assert rs, "no restart written"
+
+
+def test_cli_multi_device(tmp_path):
+    write_inputs(tmp_path)
+    out = tmp_path / "out8"
+    out.mkdir()
+    from mckpp_tpu import cli
+    rc = cli.main(["--namelist", str(tmp_path / "3D_ocn.nml"),
+                   "--data-dir", str(tmp_path),
+                   "--output-dir", str(out),
+                   "--steps", "3", "--multi-device"])
+    assert rc == 0
+    assert (out / "kpp_1h_inst.nc").exists()

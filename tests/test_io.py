@@ -1,0 +1,138 @@
+"""Diagnostics engine + restart exactness tests."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mckpp_tpu import KppConfig, DomainConfig, TimeConfig, KppModel
+from mckpp_tpu.grid import coriolis
+from mckpp_tpu.state import init_params
+from mckpp_tpu.io import diagnostics as diag
+from mckpp_tpu.io import restart as rst
+from mckpp_tpu.io import ncio
+from mckpp_tpu import forcing as forcing_mod
+
+
+def _build(ncol=4, nz=12, nx=None, ny=1):
+    nx = nx or ncol
+    cfg = KppConfig(
+        domain=DomainConfig(nx=nx, ny=ny, nz=nz, dmax=120.0),
+        time=TimeConfig(dtsec=1200.0, ndtocn=1, startt=0.0, finalt=1.0))
+    model = KppModel(cfg)
+    nzp1 = nz + 1
+    zm = np.asarray(model.grid.zm)
+    t0 = np.tile(18.0 + 6.0 * np.exp(zm / 40.0), (ncol, 1))
+    s0 = np.tile(35.0 - 0.3 * np.exp(zm / 80.0), (ncol, 1))
+    u0 = np.zeros((ncol, nzp1, 2))
+    prm = init_params(ncol, nzp1)
+    prm = dataclasses.replace(prm, f=coriolis(jnp.full((ncol,), 15.0)))
+    st, prm, frc = model.initial_state(u0, t0, s0, prm)
+    return model, st, prm, frc
+
+
+def test_extract_fields_catalog():
+    model, st, prm, frc = _build()
+    fields = diag.extract_fields(st, prm, frc)
+    assert set(diag.DEPTH_FIELDS + diag.SURFACE_FIELDS) == set(fields)
+    nzp1 = model.grid.nzp1
+    for k in diag.DEPTH_FIELDS:
+        assert fields[k].shape == (4, nzp1), k
+    for k in diag.SURFACE_FIELDS:
+        assert fields[k].shape == (4,), k
+    # salinity has Sref restored
+    np.testing.assert_allclose(
+        np.asarray(fields["S"]),
+        np.asarray(st.x[..., 1] + prm.sref[:, None]), rtol=1e-14)
+    # dif* shifted one level down with zero surface
+    assert np.all(np.asarray(fields["difm"][:, 0]) == 0.0)
+    np.testing.assert_allclose(np.asarray(fields["difm"][:, 1:]),
+                               np.asarray(st.difm[:, 1:model.grid.nz + 1]))
+
+
+def test_stream_reductions(tmp_path):
+    model, st, prm, frc = _build()
+    streams = [diag.Stream("inst", "instant", 2, fields=("T", "hmix")),
+               diag.Stream("mean", "average", 2, fields=("T", "hmix")),
+               diag.Stream("mx", "maximum", 2, fields=("hmix",))]
+    dm = diag.DiagnosticsManager(streams, nx=4, ny=1, zm=model.grid.zm,
+                                 outdir=str(tmp_path), dto_seconds=1200.0)
+    raw = forcing_mod.constant_test_fluxes(4)
+    st1, frc = forcing_mod.update_fluxes(model.cfg, st, prm, frc, raw,
+                                         jnp.asarray(True), model.grid.dm)
+    st1 = model.step(st1, prm, frc, first_step=True)
+    dm.step(1, st1, prm, frc)
+    st2 = model.step(st1, prm, frc)
+    dm.step(2, st2, prm, frc)
+    paths = dm.flush()
+    # instant stream holds the step-2 values
+    with ncio.open_nc(paths["inst"]) as nc:
+        t_inst = ncio.get_var(nc, "T")
+    np.testing.assert_allclose(
+        t_inst[0, :, 0, :].T, np.asarray(st2.x[..., 0]), rtol=1e-12)
+    # mean stream holds the average of steps 1 and 2
+    with ncio.open_nc(paths["mean"]) as nc:
+        t_mean = ncio.get_var(nc, "T")
+        h_mean = ncio.get_var(nc, "hmix")
+    expect = (np.asarray(st1.x[..., 0]) + np.asarray(st2.x[..., 0])) / 2
+    np.testing.assert_allclose(t_mean[0, :, 0, :].T, expect, rtol=1e-12)
+    np.testing.assert_allclose(
+        h_mean[0, 0], (np.asarray(st1.hmix) + np.asarray(st2.hmix)) / 2,
+        rtol=1e-12)
+    with ncio.open_nc(paths["mx"]) as nc:
+        h_max = ncio.get_var(nc, "hmix")
+    np.testing.assert_allclose(
+        h_max[0, 0],
+        np.maximum(np.asarray(st1.hmix), np.asarray(st2.hmix)), rtol=1e-12)
+
+
+def test_restart_roundtrip_exact(tmp_path):
+    model, st, prm, frc = _build()
+    raw = forcing_mod.constant_test_fluxes(4)
+    st, frc = forcing_mod.update_fluxes(model.cfg, st, prm, frc, raw,
+                                        jnp.asarray(True), model.grid.dm)
+    st = model.step(st, prm, frc, first_step=True)
+    p = rst.save_restart(str(tmp_path / "rs"), st, prm, frc, 1, 0.0, 1200.0)
+    st2, prm2, frc2, ntime, tdays = rst.load_restart(p)
+    for f in dataclasses.fields(st):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, f.name)), np.asarray(getattr(st2, f.name)),
+            err_msg=f.name)
+    assert ntime == 1
+
+
+def test_exact_resume_equivalence(tmp_path):
+    """Run 6 steps straight == run 3, checkpoint, reload, run 3 more."""
+    model, st0, prm, frc0 = _build(ncol=2, nz=10)
+
+    sta, frca = model.run(st0, prm, frc0, num_steps=6)
+
+    stb, frcb = model.run(st0, prm, frc0, num_steps=3)
+    p = rst.save_restart(str(tmp_path / "rs"), stb, prm, frcb, 3, 0.0, 1200.0)
+    stc, prmc, frcc, ntime, _ = rst.load_restart(p)
+    # continue: steps 4..6 (not first step; flux cadence every step here)
+    for nt in range(4, 7):
+        raw = forcing_mod.constant_test_fluxes(2)
+        stc, frcc = forcing_mod.update_fluxes(
+            model.cfg, stc, prmc, frcc, raw, jnp.asarray(False), model.grid.dm)
+        stc = model.step(stc, prmc, frcc, first_step=False)
+
+    for f in dataclasses.fields(sta):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sta, f.name)), np.asarray(getattr(stc, f.name)),
+            err_msg=f.name)
+
+
+def test_reference_restart_export(tmp_path):
+    model, st, prm, frc = _build(ncol=4, nx=2, ny=2)
+    path = rst.export_reference_restart(
+        str(tmp_path / "ref_restart.nc"), st, prm, 2, 2, 0.0, 1200.0)
+    with ncio.open_nc(path) as nc:
+        for name in ("uvel", "vvel", "T", "S", "CP", "rho", "hmix", "kmix",
+                     "Sref", "SSref", "Ssurf", "Tref", "old", "new",
+                     "Us", "Vs", "Ts", "Ss", "hmixd", "time"):
+            assert name in nc.variables, name
+        t = ncio.get_var(nc, "T")
+    assert t.shape == (model.grid.nzp1, 2, 2)
