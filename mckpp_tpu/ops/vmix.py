@@ -111,22 +111,29 @@ def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
         0.5 * (sbeta[:-1] + sbeta[1:]) * (x[:-1, 1] - x[1:, 1]))
 
     # reference velocity/buoyancy and bulk-Richardson inputs (:110-137).
-    # For each level n, the reference integrates a trapezoid average from the
-    # surface down to zref = epsilon*zm(n); vectorized here as a masked
-    # (n, kl) double sum.
+    # For each level n, the reference integrates a trapezoid average from
+    # the surface down to zref = epsilon*zm(n).  All but the last active
+    # layer contribute their full trapezoid, so the inner kl-loop collapses
+    # to a prefix sum over full-layer trapezoids plus one partial-layer
+    # term located by searchsorted — O(nz) instead of O(nz^2) and no
+    # (nz, nz) temporaries in HBM.
     zref = c.EPSILON_KPP * zm[:nz]                     # (nz,)
     wz0 = jnp.maximum(zm[0], zref)
-    # contributions from levels kl with zm(kl) > zref (strict)
-    zkl = zm[:nz][None, :]                             # (1, nz) level depths
-    zklp1 = zm[1:nz + 1][None, :]
-    active = zkl > zref[:, None]                       # (n, kl)
-    wz = jnp.minimum(zkl - zklp1, zkl - zref[:, None])
-    dell = 0.5 * wz / (zkl - zklp1)
+    dz_lay = zm[:nz] - zm[1:nz + 1]                    # layer extents
+    # k* = largest python k with zm[k] > zref (the partial layer); -1 if none
+    kstar = jnp.searchsorted(-zm, -zref, side="left") - 1
+    has = kstar >= 0
+    ks = jnp.clip(kstar, 0, nz - 1)
+    wz_p = zm[ks] - zref
+    del_p = 0.5 * wz_p / dz_lay[ks]
 
     def ref_avg(prof):
         top = prof[0] * wz0 / zref
-        interp = prof[:nz][None, :] + dell * (prof[1:nz + 1] - prof[:nz])[None, :]
-        contrib = jnp.where(active, wz * interp, 0.0).sum(axis=1)
+        tfull = dz_lay * 0.5 * (prof[:nz] + prof[1:nz + 1])
+        csum = jnp.concatenate([jnp.zeros(1, dtype=tfull.dtype),
+                                jnp.cumsum(tfull)])
+        partial = wz_p * (prof[ks] + del_p * (prof[ks + 1] - prof[ks]))
+        contrib = jnp.where(has, csum[ks] + partial, 0.0)
         return top - contrib / zref
 
     uref = ref_avg(u[:, 0])
