@@ -61,35 +61,45 @@ def bldepth(dvsq, ritop, dbloc, ustar, bo, bosol, swfrac_cached, jerlov,
     rib_num = ritop[kl - 1]
     rib_den = dvsq[kl - 1] + vtsq + _EPSLN
 
-    # ---- scan: Rib/dmo recurrences + first crossing ----------------------
-    def body(carry, inp):
-        rib_prev, dmo_prev, found, hbl, kbl = carry
-        (kl_i, z_kl_i, z_klm1_i, num, den, dmo_ku, hekman_i) = inp
-        rib_ku = jnp.maximum(num / den, rib_prev + _EPSLN)
-        hri = -z_klm1_i + (z_klm1_i - z_kl_i) * (c.RICR - rib_prev) / (rib_ku - rib_prev)
-        slope = (dmo_ku - dmo_prev) / (z_klm1_i - z_kl_i)
-        hmonob = jnp.where(dmo_ku <= -z_kl_i,
-                           (dmo_ku + slope * z_kl_i) / (1.0 - slope),
-                           -zbot)
-        hmin = jnp.minimum(jnp.minimum(hri, hmonob),
-                           jnp.minimum(hekman_i, -ocdepth))
-        # SJW/NPK fix: skip the Ekman/MO limits when they would put hbl
-        # above the previous level (only outside initialization)
-        # (reference: mckpp_physics_verticalmixing_bldepth_mod.F90:161-184)
-        hmin2 = jnp.minimum(jnp.minimum(hri, hmonob), -ocdepth)
-        use_fix = (~l_initflag) & (hmin < -z_klm1_i) & (hmin2 < -z_kl_i)
-        hmin = jnp.where(use_fix, hmin2, hmin)
-        crossing = (hmin < -z_kl_i) & (~found)
-        hbl = jnp.where(crossing, hmin, hbl)
-        kbl = jnp.where(crossing, kl_i, kbl)
-        found = found | crossing
-        return (rib_ku, dmo_ku, found, hbl, kbl), None
+    # ---- Rib recurrence as a max-plus associative scan -------------------
+    # The reference's sequential Rib(ku) = max(Ritop/(dVsq+Vt^2+eps),
+    # Rib(ka) + eps) (:136-137) is the composition of maps
+    # f_k(x) = max(raw_k, x + eps), which is associative under
+    # (m, c) -> f(x) = max(m, x + c); a log-depth scan replaces the 68-step
+    # sequential loop (pure scan overhead on TPU).
+    raw = rib_num / rib_den
 
-    init = (jnp.asarray(0.0, dtype), -zbot, jnp.asarray(False),
-            -zm[nz - 1], jnp.asarray(nz, jnp.int32))
-    (rib_f, dmo_f, found, hbl, kbl), _ = jax.lax.scan(
-        body, init, (kl.astype(jnp.int32), z_kl, z_klm1, rib_num, rib_den,
-                     dmo_l, hekman_l))
+    def comb(a, b):
+        m_a, c_a = a
+        m_b, c_b = b
+        return jnp.maximum(m_b, m_a + c_b), c_a + c_b
+
+    eps_vec = jnp.full_like(raw, _EPSLN)
+    m_acc, c_acc = jax.lax.associative_scan(comb, (raw, eps_vec))
+    rib = jnp.maximum(m_acc, c_acc)              # f_1..k(0)
+    rib_prev = jnp.concatenate([jnp.zeros(1, dtype), rib[:-1]])
+    dmo_prev = jnp.concatenate([jnp.full((1,), -zbot, dtype), dmo_l[:-1]])
+
+    # ---- vectorized per-level hbl candidates + first crossing ------------
+    hri = -z_klm1 + (z_klm1 - z_kl) * (c.RICR - rib_prev) / (rib - rib_prev)
+    slope = (dmo_l - dmo_prev) / (z_klm1 - z_kl)
+    hmonob = jnp.where(dmo_l <= -z_kl,
+                       (dmo_l + slope * z_kl) / (1.0 - slope),
+                       -zbot)
+    hmin = jnp.minimum(jnp.minimum(hri, hmonob),
+                       jnp.minimum(hekman_l, -ocdepth))
+    # SJW/NPK fix: skip the Ekman/MO limits when they would put hbl above
+    # the previous level (only outside initialization)
+    # (reference: mckpp_physics_verticalmixing_bldepth_mod.F90:161-184)
+    hmin2 = jnp.minimum(jnp.minimum(hri, hmonob), -ocdepth)
+    use_fix = (~l_initflag) & (hmin < -z_klm1) & (hmin2 < -z_kl)
+    hmin = jnp.where(use_fix, hmin2, hmin)
+    crossing = hmin < -z_kl
+    found = crossing.any()
+    first = jnp.argmax(crossing)
+    hbl = jnp.where(found, hmin[first], -zm[nz - 1])
+    kbl = jnp.where(found, kl[first].astype(jnp.int32),
+                    jnp.asarray(nz, jnp.int32))
 
     # ---- final surface forcing at hbl ------------------------------------
     swdk_hbl = swfrac(-1.0, hbl, jerlov)
