@@ -85,6 +85,15 @@ class PhysicsFlags:
     extra_iters: int = 40             # cap on post-itermax "shallower hmix" passes
                                       # (reference loops unboundedly at
                                       # mckpp_physics_ocnstep_mod.F90:176-181)
+    solver: str = "pcr"               # tridiagonal solve: "pcr" (log-depth
+                                      # cyclic reduction, TPU-native) or
+                                      # "thomas" (reference operation order)
+    wscale_mode: str = "nodal"        # turbulent velocity scales: "nodal"
+                                      # (the reference's bilinear (zehat,
+                                      # ustar) interpolation computed
+                                      # gather-free from on-the-fly node
+                                      # formula evaluations) or "table"
+                                      # (device-resident lookup table)
 
 
 @dataclass(frozen=True)

@@ -53,9 +53,12 @@ class KppModel:
                 d.nz, d.dmax, cfg.time.dto, stretch=d.l_stretchgrid,
                 dscale=d.dscale, dtype=self.dtype)
         self.grid = vgrid
-        wmt, wst = wscale_mod.build_tables(np.float64)
-        self.wmt = wmt.astype(self.dtype)
-        self.wst = wst.astype(self.dtype)
+        if cfg.physics.wscale_mode == "table":
+            wmt, wst = wscale_mod.build_tables(np.float64)
+            self.wmt = wmt.astype(self.dtype)
+            self.wst = wst.astype(self.dtype)
+        else:       # "analytic": exact stability functions, gather-free
+            self.wmt = self.wst = None
         self._step_jit = jax.jit(self._step)
         self._init_jit = jax.jit(self._init_columns)
 

@@ -18,7 +18,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .tridiag import tridcof, tridmat, tridrhs, rhsmod
+from .tridiag import tridcof, tridmat, tridmat_pcr, tridrhs, rhsmod
 
 
 class OcnintResult(NamedTuple):
@@ -38,7 +38,9 @@ def ocnint(u, x, uo, xo, f, kmixe,
            nmodeadv, modeadv, advection,
            grid, dto, *, l_relax_sst=False, l_relax_calconly=False,
            l_fcorr=False, l_fcorr_withz=False, l_sfcorr_withz=False,
-           l_relax_sal=False, l_relax_ocnt=False, l_advect=False):
+           l_relax_sal=False, l_relax_ocnt=False, l_advect=False,
+           solver="pcr"):
+    tridsolve = tridmat_pcr if solver == "pcr" else tridmat
     zm, hm, dm = grid.zm, grid.hm, grid.dm
     tri_dn, tri_up = grid.tri_dn, grid.tri_up
     nz = zm.shape[0] - 1
@@ -50,12 +52,12 @@ def ocnint(u, x, uo, xo, f, kmixe,
     rhs_u = uo[:nz, 0] + dto * f * 0.5 * (uo[:nz, 1] + u[:nz, 1])
     rhs_u = rhs_u.at[0].add(-dto * wu0[0] / hm[0])
     rhs_u = rhs_u.at[nz - 1].add(tri_dn[nz] * difm[nz] * uo[nz, 0])
-    u_new0 = tridmat(cu_m, cc_m, cl_m, rhs_u, uo[:, 0])
+    u_new0 = tridsolve(cu_m, cc_m, cl_m, rhs_u, uo[:, 0])
     # V uses the *updated* U in its Coriolis term (sequential in the reference)
     rhs_v = uo[:nz, 1] - dto * f * 0.5 * (uo[:nz, 0] + u_new0[:nz])
     rhs_v = rhs_v.at[0].add(-dto * wu0[1] / hm[0])
     rhs_v = rhs_v.at[nz - 1].add(tri_dn[nz] * difm[nz] * uo[nz, 1])
-    u_new1 = tridmat(cu_m, cc_m, cl_m, rhs_v, uo[:, 1])
+    u_new1 = tridsolve(cu_m, cc_m, cl_m, rhs_v, uo[:, 1])
     u_new = jnp.stack([u_new0, u_new1], axis=1)
 
     # ---- Temperature (reference :82-162) ---------------------------------
@@ -84,7 +86,7 @@ def ocnint(u, x, uo, xo, f, kmixe,
         tinc = tinc + dto * relax_ocnt * (ocnt_clim - xo[:, 0])
     rhs_t = rhs_t + tinc[:nz]
     ocntcorr = tinc * rho * cp / dto
-    x_new0 = tridmat(cu_t, cc_t, cl_t, rhs_t, xo[:, 0])
+    x_new0 = tridsolve(cu_t, cc_t, cl_t, rhs_t, xo[:, 0])
 
     # ---- Salinity (reference :164-219) -----------------------------------
     cu_s, cc_s, cl_s = tridcof(difs, tri_dn, tri_up, nz)
@@ -105,7 +107,7 @@ def ocnint(u, x, uo, xo, f, kmixe,
         sinc = sinc + dto * relax_sal * (sal_clim - xo[:, 1])
     rhs_s = rhs_s + sinc[:nz]
     scorr = sinc / dto
-    x_new1 = tridmat(cu_s, cc_s, cl_s, rhs_s, xo[:, 1])
+    x_new1 = tridsolve(cu_s, cc_s, cl_s, rhs_s, xo[:, 1])
     x_new = jnp.stack([x_new0, x_new1], axis=1)
 
     return OcnintResult(u=u_new, x=x_new, tinc_fcorr=tinc, sinc_fcorr=sinc,

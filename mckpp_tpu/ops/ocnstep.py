@@ -97,7 +97,8 @@ def ocnstep(stt: State, prm: ColumnParams, frc: Forcing, grid, wmt, wst,
                     l_sfcorr_withz=cfg.forcing.l_sfcorr_withz,
                     l_relax_sal=cfg.boundary.l_relax_sal,
                     l_relax_ocnt=cfg.boundary.l_relax_ocnt,
-                    l_advect=cfg.boundary.l_advect)
+                    l_advect=cfg.boundary.l_advect,
+                    solver=ph.solver)
         return dataclasses.replace(
             st, u=oi.u, x=oi.x, tinc_fcorr=oi.tinc_fcorr,
             sinc_fcorr=oi.sinc_fcorr, ocntcorr=oi.ocntcorr, scorr=oi.scorr,

@@ -81,6 +81,43 @@ def tridmat(cu, cc, cl, rhs, yo):
     return jnp.concatenate([yn, yo[-1:]])
 
 
+def tridmat_pcr(cu, cc, cl, rhs, yo):
+    """Parallel-cyclic-reduction solve of the same system as :func:`tridmat`.
+
+    Exact same system (cu_i y_{i-1} + cc_i y_i + cl_i y_{i+1} = rhs_i,
+    reference mckpp_physics_solvers.F90:112-161) solved in ceil(log2 nz)
+    elementwise elimination sweeps instead of the O(nz) sequential Thomas
+    recurrence — no per-level kernel dispatch, which is the TPU-idiomatic
+    layout (SURVEY.md §2.6: vertical-axis parallelism inside the solve).
+    The matrix is strictly diagonally dominant (cc = 1 + |cu| + |cl| by
+    construction in tridcof), for which cyclic reduction is stable.
+
+    Results differ from Thomas only in floating-point association order.
+    """
+    nz = rhs.shape[0]
+    a, b, c_, r = cu, cc, cl, rhs
+
+    s = 1
+    while s < nz:
+        # neighbors at distance s, zero-padded outside the system
+        def up(v):     # v_{i-s}
+            return jnp.concatenate([jnp.zeros((s,), v.dtype), v[:-s]])
+
+        def dn(v):     # v_{i+s}
+            return jnp.concatenate([v[s:], jnp.zeros((s,), v.dtype)])
+
+        alpha = -a / jnp.where(up(b) == 0.0, 1.0, up(b))
+        beta = -c_ / jnp.where(dn(b) == 0.0, 1.0, dn(b))
+        b = b + alpha * up(c_) + beta * dn(a)
+        r = r + alpha * up(r) + beta * dn(r)
+        a = alpha * up(a)
+        c_ = beta * dn(c_)
+        s *= 2
+
+    yn = r / b
+    return jnp.concatenate([yn, yo[-1:]])
+
+
 def rhsmod(jsclr, mode, a_mag, dto, km, dm_km, rhs, rho, cp, hm, zm, nz):
     """Advection correction of the scalar RHS (modes 1-7)
     (reference: mckpp_physics_solvers.F90:176-335, steady branch).

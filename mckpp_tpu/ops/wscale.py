@@ -54,12 +54,107 @@ def build_tables(dtype=np.float64):
     return jnp.asarray(wmt), jnp.asarray(wst)
 
 
+def wscale_analytic(sigma, hbl, ustar, bfsfc):
+    """Closed-form LMD turbulent velocity scales — the exact stability
+    functions the reference's lookup table discretizes
+    (mckpp_physics_lookup_mod.F90:42-64), evaluated at the query point.
+
+    Pure elementwise VPU math (no gathers): the table bilinear lookup is
+    a gather-heavy op that dominates the TPU step cost, while this form
+    is both faster and more accurate than the (zehat, ustar)-gridded
+    interpolation.  Works on arrays of any shape.
+    """
+    zehat = c.VONK * sigma * hbl * bfsfc
+    ucube = ustar ** 3
+    zeta = zehat / (ucube + 1.0e-30)
+    # stable branch, in the division-safe rearrangement the reference
+    # itself uses for zehat > zmax (wscale_mod.F90:57-95)
+    w_stab = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat + 1.0e-30)
+    wm_unst = jnp.where(
+        zeta > c.ZETAM,
+        c.VONK * ustar * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
+        c.VONK * jnp.cbrt(c.AM * ucube - c.CM * zehat))
+    ws_unst = jnp.where(
+        zeta > c.ZETAS,
+        c.VONK * ustar * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
+        c.VONK * jnp.cbrt(c.AS_WS * ucube - c.CS * zehat))
+    stable = zehat >= 0.0
+    wm = jnp.where(stable, w_stab, wm_unst)
+    ws = jnp.where(stable, w_stab, ws_unst)
+    return wm, ws
+
+
+def _node_wmws(zehat_n, usta_n):
+    """The table-build formula (mckpp_physics_lookup_mod.F90:47-62)
+    evaluated at a grid node, in jnp (elementwise, shape-polymorphic)."""
+    zeta = zehat_n / (usta_n ** 3 + 1.0e-20)
+    w_st = c.VONK * usta_n / (1.0 + c.C1_WS * zeta)
+    wm_un = jnp.where(zeta > c.ZETAM,
+                      c.VONK * usta_n * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
+                      c.VONK * jnp.cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
+    ws_un = jnp.where(zeta > c.ZETAS,
+                      c.VONK * usta_n * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
+                      c.VONK * jnp.cbrt(c.AS_WS * usta_n ** 3 - c.CS * zehat_n))
+    stable = zehat_n >= 0.0
+    return jnp.where(stable, w_st, wm_un), jnp.where(stable, w_st, ws_un)
+
+
+def wscale_nodal(sigma, hbl, ustar, bfsfc):
+    """The reference's bilinear table interpolation — including its linear
+    extrapolation outside the (zehat, ustar) table domain — computed
+    gather-free by evaluating the table-build formula at the four
+    surrounding grid nodes on the fly.
+
+    Identical math to the device-table lookup (same nodes, same weights:
+    mckpp_physics_verticalmixing_wscale_mod.F90:63-95), but pure
+    elementwise VPU work: lookup gathers dominate the TPU step cost while
+    four node evaluations are ~a hundred cheap flops.  This is the
+    default; the resident-table path is kept for oracle tests.
+    """
+    dtype = jnp.result_type(sigma, hbl, ustar, bfsfc)
+    zehat = c.VONK * sigma * hbl * bfsfc
+    zdiff = zehat - c.WS_ZMIN
+    iz = jnp.clip((zdiff / _DELTAZ).astype(jnp.int32), 0, c.WS_NI)
+    udiff = ustar - c.WS_UMIN
+    ju = jnp.clip((udiff / _DELTAU).astype(jnp.int32), 0, c.WS_NJ)
+    zfrac = zdiff / _DELTAZ - iz.astype(dtype)
+    ufrac = udiff / _DELTAU - ju.astype(dtype)
+    fzfrac = 1.0 - zfrac
+
+    z_lo = c.WS_ZMIN + _DELTAZ * iz.astype(dtype)
+    z_hi = z_lo + _DELTAZ
+    u_lo = c.WS_UMIN + _DELTAU * ju.astype(dtype)
+    u_hi = u_lo + _DELTAU
+    wm_ll, ws_ll = _node_wmws(z_lo, u_lo)
+    wm_hl, ws_hl = _node_wmws(z_hi, u_lo)
+    wm_lh, ws_lh = _node_wmws(z_lo, u_hi)
+    wm_hh, ws_hh = _node_wmws(z_hi, u_hi)
+
+    wam = fzfrac * wm_lh + zfrac * wm_hh
+    wbm = fzfrac * wm_ll + zfrac * wm_hl
+    wm_tab = (1.0 - ufrac) * wbm + ufrac * wam
+    was = fzfrac * ws_lh + zfrac * ws_hh
+    wbs = fzfrac * ws_ll + zfrac * ws_hl
+    ws_tab = (1.0 - ufrac) * wbs + ufrac * was
+
+    ucube = ustar ** 3
+    wm_ana = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat)
+    use_table = zehat <= c.WS_ZMAX
+    wm = jnp.where(use_table, wm_tab, wm_ana)
+    ws = jnp.where(use_table, ws_tab, wm_ana)
+    return wm, ws
+
+
 def wscale(sigma, hbl, ustar, bfsfc, wmt, wst):
     """Bilinear lookup of (wm, ws) at (zehat, ustar); analytic formula for
     zehat > zmax (reference: mckpp_physics_verticalmixing_wscale_mod.F90:57-95).
 
     All scalar inputs (vmapped over columns/levels by callers).
+    ``wmt is None`` selects the gather-free on-the-fly form (wscale_nodal),
+    which computes the same interpolation from formula evaluations.
     """
+    if wmt is None:
+        return wscale_nodal(sigma, hbl, ustar, bfsfc)
     zehat = jnp.asarray(c.VONK * sigma * hbl * bfsfc)
     ustar = jnp.asarray(ustar)
 

@@ -5,7 +5,7 @@ import numpy as np
 
 from mckpp_tpu import constants as c
 from mckpp_tpu.grid import make_vertical_grid
-from mckpp_tpu.ops.tridiag import tridcof, tridrhs, tridmat
+from mckpp_tpu.ops.tridiag import tridcof, tridrhs, tridmat, tridmat_pcr
 from mckpp_tpu.ops.rimix import rimix, z121
 from mckpp_tpu.ops.ddmix import ddmix
 
@@ -35,6 +35,25 @@ def test_tridiag_solve_matches_numpy():
     expect = np.linalg.solve(dense, np.asarray(rhs))
     np.testing.assert_allclose(np.asarray(yn[:nz]), expect, rtol=1e-12)
     assert float(yn[nz]) == float(yo[nz])
+
+
+def test_pcr_matches_thomas_and_numpy():
+    """The log-depth cyclic-reduction solve is the same system as Thomas."""
+    rng = np.random.default_rng(7)
+    for nz in (3, 12, 69):
+        g = make_vertical_grid(nz=nz, dmax=10.0 * nz, dto=1200.0)
+        diff = jnp.asarray(np.abs(rng.normal(5e-3, 2e-3, nz + 2)))
+        cu, cc, cl = tridcof(diff, g.tri_dn, g.tri_up, nz)
+        rhs = jnp.asarray(rng.normal(size=nz))
+        yo = jnp.asarray(rng.normal(size=nz + 1))
+        yn_t = tridmat(cu, cc, cl, rhs, yo)
+        yn_p = tridmat_pcr(cu, cc, cl, rhs, yo)
+        dense = _dense(np.asarray(cu), np.asarray(cc), np.asarray(cl))
+        expect = np.linalg.solve(dense, np.asarray(rhs))
+        np.testing.assert_allclose(np.asarray(yn_p[:nz]), expect, rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(yn_p), np.asarray(yn_t),
+                                   rtol=1e-11, atol=1e-13)
+        assert float(yn_p[nz]) == float(yo[nz])
 
 
 def test_tridiag_diffusion_conserves_without_flux():
