@@ -94,6 +94,14 @@ class PhysicsFlags:
                                       # gather-free from on-the-fly node
                                       # formula evaluations) or "table"
                                       # (device-resident lookup table)
+    pass_impl: str = "auto"           # per-pass implementation:
+                                      # "auto" -> fused Pallas kernel on TPU
+                                      # (float32, supported flags), fused
+                                      # XLA body elsewhere, reference path
+                                      # for unsupported features;
+                                      # "reference" | "fused_xla" |
+                                      # "pallas" | "pallas_interpret"
+    pass_block: int = 128             # Pallas column-tile (sublane) size
 
 
 @dataclass(frozen=True)

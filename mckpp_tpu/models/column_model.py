@@ -59,8 +59,42 @@ class KppModel:
             self.wst = wst.astype(self.dtype)
         else:       # "analytic": exact stability functions, gather-free
             self.wmt = self.wst = None
+        self.pass_impl = self._resolve_pass_impl()
+        if self.pass_impl != "reference":
+            from ..ops.ocnstep_fused import make_ocnstep_fused
+            impl = {"fused_xla": "xla", "pallas": "pallas",
+                    "pallas_interpret": "interpret"}[self.pass_impl]
+            self._fused_step = make_ocnstep_fused(
+                self.grid, cfg, self.dtype, impl=impl,
+                block=cfg.physics.pass_block)
         self._step_jit = jax.jit(self._step)
         self._init_jit = jax.jit(self._init_columns)
+
+    def _resolve_pass_impl(self) -> str:
+        """Pick the per-pass implementation (see PhysicsFlags.pass_impl):
+        the fused Pallas kernel on TPU float32, the fused XLA body on CPU /
+        float64, the unfused reference path for unsupported features."""
+        from ..ops.ocnstep_fused import supports_fused
+        choice = self.cfg.physics.pass_impl
+        if choice == "reference":
+            return "reference"
+        supported = supports_fused(self.cfg)
+        if choice == "auto":
+            if not supported:
+                return "reference"
+            try:
+                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            except Exception:
+                on_tpu = False
+            if on_tpu and self.dtype == jnp.float32:
+                return "pallas"
+            return "fused_xla"
+        if not supported:
+            raise ValueError(
+                f"pass_impl={choice!r} requested but the configuration "
+                "uses features the fused pass does not cover "
+                "(l_advect / wscale table / thomas solver)")
+        return choice
 
     # ------------------------------------------------------------------
     # Initialization (reference: mckpp_initialize_ocean.F90:18-111)
@@ -186,12 +220,15 @@ class KppModel:
     def _step(self, st: State, prm: ColumnParams, frc: Forcing, first_step):
         grid, wmt, wst, cfg = self.grid, self.wmt, self.wst, self.cfg
 
-        def per_col(stc, prmc, frcc, act):
-            return ocnstep(stc, prmc, frcc, grid, wmt, wst, cfg,
-                           first_step, act)
+        if self.pass_impl != "reference":
+            new_st, comp = self._fused_step(st, prm, frc, first_step)
+        else:
+            def per_col(stc, prmc, frcc, act):
+                return ocnstep(stc, prmc, frcc, grid, wmt, wst, cfg,
+                               first_step, act)
 
-        new_st, comp = jax.vmap(per_col, in_axes=(0, 0, 0, 0))(
-            st, prm, frc, prm.run_physics)
+            new_st, comp = jax.vmap(per_col, in_axes=(0, 0, 0, 0))(
+                st, prm, frc, prm.run_physics)
         new_st = jax.vmap(partial(check_profile, grid=grid, cfg=cfg))(
             new_st, prm, frc, comp)
         out = _select(prm.run_physics, new_st, st)

@@ -1,0 +1,649 @@
+"""Fused one-pass kernel: {under-relax -> vertical mixing -> implicit solve}
+for the whole column batch in one Pallas TPU kernel.
+
+This is the performance core of the framework.  One "pass" is the body of the
+reference's semi-implicit iteration (mckpp_physics_ocnstep_mod.F90:122-135):
+under-relaxation, the full vertical-mixing coefficient pipeline
+(EOS -> rimix/ddmix -> bldepth -> blmix -> enhance, from
+mckpp_physics_verticalmixing_*.F90), and the backward-Euler tridiagonal solves
+(mckpp_physics_ocnint_mod.F90) — executed ~5-9 times per column per timestep.
+The unfused XLA path materializes ~50 (ncol, nz) intermediates in HBM per
+pass; fusing the pass into one kernel keeps everything in VMEM and is HBM-
+bound only on the true input/output state (~15 arrays).
+
+Layout: **columns on sublanes, z on lanes** — arrays stay in their native
+``(ncol, nz+2)`` shape (no transposes anywhere).  All vertical operations are
+lane-axis ops:
+
+* level shifts   -> static lane shifts (concatenate of a zero slice);
+* prefix scans   -> log-depth shift-and-combine (bldepth's Rib recurrence);
+* tridiag solve  -> parallel cyclic reduction (log-depth lane shifts);
+* per-column level gathers (e.g. diffusivities at ``kbl``) -> one-hot
+  masked lane reductions;
+* the reference-profile trapezoid average (verticalmixing_mod.F90:110-137)
+  is **linear in the profile**, so it is a single precomputed
+  ``(nz+2, nz+2)`` matrix applied on the MXU.
+
+The kernel body (:func:`_pass_body`) is pure jnp, so the identical code runs
+three ways: under ``pl.pallas_call`` (production TPU path), as a plain traced
+XLA function (CPU / float64 parity path), and in Pallas interpret mode
+(tests).  Oracle tests compare it against the per-column ops in ``vmix.py`` /
+``ocnint.py``.
+
+Index conventions (lane ``j`` of a ``(B, WZ)`` array, ``WZ = nz + 2``):
+
+* level arrays (u, x, rho, zm, hm, swfrac): lane ``j`` = python level ``j``
+  = Fortran level ``j+1``; lanes ``> nz`` are padding.
+* Fortran-aligned interface arrays (difm/difs/dift 0:nzp1, ghat/dbloc/shsq/
+  rig/wxnt/swdk_opt/dm/tri 0:nz): lane ``j`` = Fortran interface ``j``.
+* tridiagonal row arrays (cu/cc/cl/rhs/solution): lane ``j`` = Fortran row
+  ``j+1``; valid lanes ``0..nz-1``.
+* bldepth per-level arrays: lane ``j`` = the Fortran ``kl`` loop index
+  directly (valid ``2..nz``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as c
+from .eos import abk80, cpsw
+from .wscale import wscale_nodal
+
+_EPS16 = 1.0e-16
+_EPS20 = 1.0e-20
+_BIG = 1.0e30
+
+
+@dataclasses.dataclass(frozen=True)
+class PassFlags:
+    """Static feature flags specializing the fused pass (subset of the
+    reference's L_* switches that the kernel supports; l_advect and the
+    resident-table wscale fall back to the unfused path)."""
+    lri: bool = True
+    ldd: bool = False
+    lkpp: bool = True
+    l_relax_sst: bool = False
+    l_relax_calconly: bool = False
+    l_fcorr: bool = False
+    l_fcorr_withz: bool = False
+    l_sfcorr_withz: bool = False
+    l_relax_sal: bool = False
+    l_relax_ocnt: bool = False
+
+
+# colscal row indices (packed per-column scalars)
+CS_TAUX, CS_TAUY, CS_SWF, CS_NSOL, CS_ICE, CS_RAIN = 0, 1, 2, 3, 4, 5
+CS_SSURF, CS_SREF, CS_F, CS_OCDEPTH = 6, 7, 8, 9
+CS_RFAC, CS_A1, CS_A2, CS_FIRST = 10, 11, 12, 13
+CS_RELAX_SST, CS_SST0, CS_FCORR2D, CS_RELAX_OCNT, CS_RELAX_SAL, CS_FCORRP = \
+    14, 15, 16, 17, 18, 19
+NSC = 24  # padded row count
+
+
+def _shr(v, s, fill=0.0):
+    """Lane shift right: out[:, j] = v[:, j-s] (fill for j < s)."""
+    if s == 0:
+        return v
+    z = jnp.full_like(v[:, :s], fill)
+    return jnp.concatenate([z, v[:, :-s]], axis=1)
+
+
+def _shl(v, s, fill=0.0):
+    """Lane shift left: out[:, j] = v[:, j+s] (fill for j >= WZ-s)."""
+    if s == 0:
+        return v
+    z = jnp.full_like(v[:, :s], fill)
+    return jnp.concatenate([v[:, s:], z], axis=1)
+
+
+def build_ref_matrix(zm: np.ndarray, wz: int) -> np.ndarray:
+    """Precompute the (WZ, WZ) matrix A with ``ref_avg(prof) = prof @ A``.
+
+    Column n (0-based level, n < nz) reproduces the reference's trapezoid
+    average from the surface to ``zref = epsilon*zm(n+1)``
+    (mckpp_physics_verticalmixing_mod.F90:110-137): the surface-layer term,
+    the prefix sum of full-layer trapezoids above the partial layer, and the
+    partial-layer linear interpolation.  Grid-only — column-independent.
+    """
+    zm = np.asarray(zm, np.float64)
+    nz = zm.shape[0] - 1
+    A = np.zeros((wz, wz), np.float64)
+    zref = c.EPSILON_KPP * zm[:nz]
+    wz0 = np.maximum(zm[0], zref)
+    dz_lay = zm[:nz] - zm[1:nz + 1]
+    kstar = np.searchsorted(-zm, -zref, side="left") - 1
+    for n in range(nz):
+        A[0, n] += wz0[n] / zref[n]
+        if kstar[n] >= 0:
+            ks = min(int(kstar[n]), nz - 1)
+            for k in range(ks):
+                tf = 0.5 * dz_lay[k] / zref[n]
+                A[k, n] -= tf
+                A[k + 1, n] -= tf
+            wzp = zm[ks] - zref[n]
+            delp = 0.5 * wzp / dz_lay[ks]
+            A[ks, n] -= wzp * (1.0 - delp) / zref[n]
+            A[ks + 1, n] -= wzp * delp / zref[n]
+    return A
+
+
+def _ext(v, idx, li):
+    """Per-column lane gather: out[b] = v[b, idx[b]] as a (B, 1) array."""
+    return jnp.sum(jnp.where(li == idx, v, 0.0), axis=1, keepdims=True)
+
+
+def _pcr_solve(cu, cc, cl, rhs, nz, row):
+    """Parallel cyclic reduction of the batch of tridiagonal systems
+    (same elimination order as ops/tridiag.tridmat_pcr, so results are
+    bitwise-comparable).  Row arrays on lanes 0..nz-1; padding lanes are
+    (a=0, b=1, c=0, r=0) no-op rows."""
+    a = jnp.where(row < nz, cu, 0.0)
+    b = jnp.where(row < nz, cc, 1.0)
+    c_ = jnp.where(row < nz, cl, 0.0)
+    r = jnp.where(row < nz, rhs, 0.0)
+    s = 1
+    while s < nz:
+        ub, db = _shr(b, s), _shl(b, s)
+        alpha = -a / jnp.where(ub == 0.0, 1.0, ub)
+        beta = -c_ / jnp.where(db == 0.0, 1.0, db)
+        b = b + alpha * _shr(c_, s) + beta * _shl(a, s)
+        r = r + alpha * _shr(r, s) + beta * _shl(r, s)
+        a = alpha * _shr(a, s)
+        c_ = beta * _shl(c_, s)
+        s *= 2
+    return r / b
+
+
+def _tridcof(diff, tdn, tup, nz, row):
+    """Matrix coefficients on row lanes (reference solvers.F90:14-44)."""
+    diff1 = _shl(diff, 1)               # diff[i] at row lane i-1
+    tdn1 = _shl(tdn, 1)
+    tup1 = _shl(tup, 1)
+    cu = jnp.where(row == 0, 0.0, -tup1 * diff)
+    cc = 1.0 + tdn1 * diff1 + jnp.where(row == 0, 0.0, tup1 * diff)
+    cl = jnp.where(row == nz - 1, 0.0, -tdn1 * diff1)
+    return cu, cc, cl
+
+
+def _tridrhs(hm, yo, ntflux, diff, ghat, sturflux, ghatflux, dto, tdn,
+             nz, row):
+    """Scalar RHS on row lanes (reference solvers.F90:53-107).  ghat/diff
+    lane 0 are zero by construction, so the surface row needs only the
+    explicit -sturflux term."""
+    ghterm = ghatflux * (_shl(diff, 1) * _shl(ghat, 1) - diff * ghat)
+    ntterm = _shl(ntflux, 1) - ntflux
+    rhs = yo + dto / hm * (ghterm + ntterm)
+    rhs = rhs + jnp.where(row == 0, -dto / hm * sturflux, 0.0)
+    bot = yo[:, nz:nz + 1] * tdn[:, nz:nz + 1] * diff[:, nz:nz + 1]
+    return rhs + jnp.where(row == nz - 1, bot, 0.0)
+
+
+def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
+               swdk_c, swfrac_c, ocnt_clim, sal_clim, fcorr_z, sfcorr_z,
+               colscal, zm, hm, dm, tdn, tup, aref,
+               *, nz, flags: PassFlags, dto, full):
+    """One fused pass over a (B, WZ) column block.  Returns a tuple:
+    fast: (u', v', t', s', ux', vx', tx', sx', colout8)
+    full: (u', v', t', s', colout16, difm, difs, dift, ghat, rho, cp,
+           talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
+           tinc, sinc, ocntcorr, scorr)
+    """
+    wz = u.shape[1]
+    dtype = u.dtype
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
+    lam = c.LAMBDA_SMOOTH
+
+    def cs(k):
+        return colscal[:, k:k + 1]
+
+    # ---- under-relaxation (ocnstep :122-129) -----------------------------
+    u = lam * ux + (1.0 - lam) * u
+    v = lam * vx + (1.0 - lam) * v
+    t = lam * tx + (1.0 - lam) * t
+    s = lam * sx + (1.0 - lam) * s
+
+    # ---- EOS on every level (verticalmixing :59-73) ----------------------
+    sref = cs(CS_SREF)
+    s_abs = s + sref
+    pr = -zm                              # dbar, (1, WZ) broadcast
+    alpha, beta, _, sig0, _ = abk80(s_abs, t, pr)
+    rho = 1000.0 + sig0
+    cp = cpsw(s_abs, t, pr)
+    buoy = -c.GRAV * sig0 / 1000.0
+    rho0, cp0 = rho[:, :1], cp[:, :1]
+    ta0, sb0 = alpha[:, :1], beta[:, :1]
+    # fresh-water / brine surface densities (verticalmixing :44-50)
+    _, _, _, s0t, _ = abk80(jnp.zeros_like(t[:, :1]), t[:, :1], -zm[:, :1])
+    rhoh2o = 1000.0 + s0t
+    _, _, _, s0b, _ = abk80(jnp.full_like(t[:, :1], c.SICE), t[:, :1],
+                            -zm[:, :1])
+    rhob = 1000.0 + s0b
+
+    # ---- solar decay cache + non-turbulent flux (fluxes :93-137) ---------
+    first = cs(CS_FIRST)
+    rfac, a1j, a2j = cs(CS_RFAC), cs(CS_A1), cs(CS_A2)
+    swdk_new = rfac * jnp.exp(-dm / a1j) + (1.0 - rfac) * jnp.exp(-dm / a2j)
+    swdk_opt = first * swdk_new + (1.0 - first) * swdk_c
+    swf = cs(CS_SWF)
+    wxnt_t = -swf * swdk_opt / (rho0 * cp0)
+
+    # ---- kinematic surface fluxes (verticalmixing :81-100) ---------------
+    taux, tauy = cs(CS_TAUX), cs(CS_TAUY)
+    wu0x, wu0y = -taux / rho0, -tauy / rho0
+    tau = jnp.sqrt(taux ** 2 + tauy ** 2) + _EPS16
+    ustar = jnp.sqrt(tau / rho0)
+    ssurf = cs(CS_SSURF)
+    wx0t = -cs(CS_NSOL) / rho0 / cp0
+    wx0s = ssurf * cs(CS_RAIN) / rhoh2o + (ssurf - c.SICE) * cs(CS_ICE) / rhob
+    b0 = -c.GRAV * (ta0 * wx0t - sb0 * wx0s)
+    wx0b = -b0
+    b0sol = c.GRAV * ta0 * swf / (rho0 * cp0)
+
+    # ---- interface buoyancy-gradient terms for ddmix ---------------------
+    if flags.ldd:
+        int_mask = (li >= 1) & (li <= nz)
+        adt = jnp.where(int_mask,
+                        0.5 * (_shr(alpha, 1) + alpha) * (_shr(t, 1) - t), 0.0)
+        bds = jnp.where(int_mask,
+                        0.5 * (_shr(beta, 1) + beta) * (_shr(s, 1) - s), 0.0)
+
+    # ---- reference profiles & bulk-Richardson inputs (:110-137) ----------
+    hp = jax.lax.Precision.HIGHEST
+    uref = jnp.dot(u, aref, precision=hp)
+    vref = jnp.dot(v, aref, precision=hp)
+    bref = jnp.dot(buoy, aref, precision=hp)
+    zref = c.EPSILON_KPP * zm
+    ritop = (zref - zm) * (bref - buoy)            # level lanes 0..nz-1
+    imask = (li >= 1) & (li <= nz)
+    dbloc = jnp.where(imask, _shr(buoy, 1) - buoy, 0.0)
+    shsq = jnp.where(imask, (_shr(u, 1) - u) ** 2 + (_shr(v, 1) - v) ** 2, 0.0)
+    dvsq = (uref - u) ** 2 + (vref - v) ** 2       # level lanes 0..nz-1
+
+    # ---- rimix + z121 (rimix_mod, z121_mod) ------------------------------
+    if flags.lri:
+        dz_int = _shr(zm, 1) - zm
+        rig = jnp.where(imask, dbloc * dz_int / (shsq + _EPS16), 0.0)
+        w = jnp.where((rig < 0.0) | (rig > c.RIINFTY), 0.0, 1.0)
+        w = jnp.where(imask, w, 0.0)
+        vz = jnp.where(imask, rig, 0.0)
+        num = _shr(w * vz, 1) + 2.0 * vz + _shl(w * vz, 1)
+        den = _shr(w, 1) + 2.0 + _shl(w, 1)
+        smooth = jnp.where(imask, num / den, 0.0)
+        rigg = jnp.maximum(rig, c.RICON)
+        ratio = jnp.minimum((c.RICON - rigg) / c.RICON, 1.0)
+        fcon = (1.0 - ratio * ratio) ** 3
+        rigg = jnp.maximum(smooth, 0.0)
+        ratio = jnp.minimum(rigg / c.RIINFTY, 1.0)
+        fri = (1.0 - ratio * ratio) ** 3
+        difm = jnp.where(imask, c.DIFMIW + fcon * c.DIFMCON + fri * c.DIFM0, 0.0)
+        difs = jnp.where(imask, c.DIFSIW + fcon * c.DIFSCON + fri * c.DIFS0, 0.0)
+        dift = difs
+    else:
+        rig = jnp.zeros_like(u)
+        difm = jnp.zeros_like(u)
+        difs = jnp.zeros_like(u)
+        dift = jnp.zeros_like(u)
+
+    if flags.ldd:
+        # double diffusion (ddmix_mod :12-52)
+        finger = (adt > bds) & (bds > 0.0)
+        safe_bds = jnp.where(finger, bds, 1.0)
+        rrho_f = jnp.minimum(adt / safe_bds, c.RRHO0)
+        dd = 1.0 - ((rrho_f - 1.0) / (c.RRHO0 - 1.0)) ** 2
+        diff_f = c.DSFMAX * dd * dd * dd
+        dift = dift + jnp.where(finger, diff_f * 0.8 / rrho_f, 0.0)
+        difs = difs + jnp.where(finger, diff_f, 0.0)
+        conv = (adt < 0.0) & (bds < 0.0) & (adt < bds)
+        safe_bds2 = jnp.where(conv, bds, -1.0)
+        rrho_c = adt / safe_bds2
+        safe_rrho = jnp.where(conv, rrho_c, 1.0)
+        diff_c = 1.5e-6 * 9.0 * 0.101 * jnp.exp(
+            4.6 * jnp.exp(-0.54 * (1.0 / safe_rrho - 1.0)))
+        prandtl = jnp.where(rrho_c > 0.5,
+                            (1.85 - 0.85 / safe_rrho) * rrho_c, 0.15 * rrho_c)
+        dift = dift + jnp.where(conv, diff_c, 0.0)
+        difs = difs + jnp.where(conv, prandtl * diff_c, 0.0)
+
+    # fill the bottom kmp1 coefficient for blmix matching (kppmix :58-62)
+    difm = jnp.where(li == nz + 1, _shr(difm, 1), difm)
+    difs = jnp.where(li == nz + 1, _shr(difs, 1), difs)
+    dift = jnp.where(li == nz + 1, _shr(dift, 1), dift)
+
+    if flags.lkpp:
+        # ---- bldepth (bldepth_mod :32-203); lane j = Fortran kl ----------
+        vtc = (c.CV * math.sqrt(0.2 / c.CS / c.EPSILON_KPP)
+               / c.VONK ** 2 / c.RICR)
+        f_cor = cs(CS_F)
+        ocdepth = cs(CS_OCDEPTH)
+        hek = c.CEKMAN * ustar / (jnp.abs(f_cor) + _EPS16)
+        zbot = zm[:, nz:nz + 1]
+        z_kl = _shr(zm, 1)                   # zm(kl)
+        z_klm1 = _shr(zm, 2)                 # zm(kl-1)
+        valid = (li >= 2) & (li <= nz)
+        bfsfc_l = b0 + b0sol * (1.0 - _shr(swfrac_c, 1))
+        stable_l = jnp.where(bfsfc_l + _EPS16 >= 0.0, 1.0, 0.0)
+        sigma_l = stable_l + (1.0 - stable_l) * c.EPSILON_KPP
+        _, ws_l = wscale_nodal(sigma_l, -z_kl, ustar, bfsfc_l)
+        dz_up = z_klm1 - z_kl
+        dz_dn = z_kl - zm
+        bvsq = 0.5 * (_shr(dbloc, 1) / jnp.where(valid, dz_up, 1.0)
+                      + dbloc / jnp.where(valid, dz_dn, 1.0))
+        vtsq = -z_kl * ws_l * jnp.sqrt(jnp.abs(bvsq)) * vtc
+        dmo_raw = c.CMONOB * ustar ** 3 / c.VONK / (jnp.abs(bfsfc_l) + _EPS16)
+        dmo_l = stable_l * dmo_raw - (1.0 - stable_l) * zbot
+        hekman_l = stable_l * hek - (1.0 - stable_l) * zbot
+        raw = _shr(ritop, 1) / (_shr(dvsq, 1) + vtsq + _EPS16)
+        # log-depth scan of Rib(k) = max(raw_k, Rib(k-1) + eps) (:136-137)
+        m_acc = jnp.where(valid, raw, -_BIG)
+        c_acc = jnp.where(valid, _EPS16, 0.0)
+        step = 1
+        while step < wz:
+            m_s = _shr(m_acc, step, fill=-_BIG)
+            c_s = _shr(c_acc, step, fill=0.0)
+            m_acc, c_acc = jnp.maximum(m_acc, m_s + c_acc), c_s + c_acc
+            step *= 2
+        rib = jnp.maximum(m_acc, c_acc)
+        rib_prev = _shr(rib, 1)
+        dmo_prev = jnp.where(li == 2, -zbot, _shr(dmo_l, 1))
+        hri = -z_klm1 + (z_klm1 - z_kl) * (c.RICR - rib_prev) / \
+            jnp.where(valid, rib - rib_prev, 1.0)
+        slope = (dmo_l - dmo_prev) / jnp.where(valid, z_klm1 - z_kl, 1.0)
+        hmonob = jnp.where(dmo_l <= -z_kl,
+                           (dmo_l + slope * z_kl) / (1.0 - slope), -zbot)
+        hmin = jnp.minimum(jnp.minimum(hri, hmonob),
+                           jnp.minimum(hekman_l, -ocdepth))
+        # SJW/NPK fix (:161-184); the fused pass never runs at init
+        hmin2 = jnp.minimum(jnp.minimum(hri, hmonob), -ocdepth)
+        use_fix = (hmin < -z_klm1) & (hmin2 < -z_kl)
+        hmin = jnp.where(use_fix, hmin2, hmin)
+        crossing = valid & (hmin < -z_kl)
+        bigi = jnp.asarray(wz + 100, jnp.int32)
+        firstx = jnp.min(jnp.where(crossing, li, bigi), axis=1, keepdims=True)
+        found = firstx < bigi
+        kbl = jnp.where(found, firstx, nz).astype(jnp.int32)
+        hbl = jnp.where(found, _ext(hmin, firstx, li), -zm[:, nz - 1:nz])
+        # final surface forcing at hbl (:187-201)
+        swdk_hbl = (rfac * jnp.exp(jnp.maximum(-hbl / a1j, c.SWFRAC_RMIN))
+                    + (1.0 - rfac) * jnp.exp(jnp.maximum(-hbl / a2j,
+                                                         c.SWFRAC_RMIN)))
+        bfsfc = b0 + b0sol * (1.0 - swdk_hbl)
+        stable = jnp.where(bfsfc >= 0.0, 1.0, 0.0)
+        bfsfc = bfsfc + stable * _EPS16
+        zm_kbl = _ext(zm, kbl - 1, li)
+        hm_kbl = _ext(hm, kbl - 1, li)
+        case_a = jnp.where(-zm_kbl - 0.5 * hm_kbl - hbl >= 0.0, 1.0, 0.0)
+
+        # ---- blmix (blmix_mod :13-151) -----------------------------------
+        cg = c.CSTAR * c.VONK * (c.CS * c.VONK * c.EPSILON_KPP) ** (1.0 / 3.0)
+        sigma_bl = stable * 1.0 + (1.0 - stable) * c.EPSILON_KPP
+        wm_h, ws_h = wscale_nodal(sigma_bl, hbl, ustar, bfsfc)
+        kn = jnp.where(case_a + _EPS20 >= 1.0, kbl - 1, kbl)
+        hm_kn = _ext(hm, kn - 1, li)
+        hm_knp1 = _ext(hm, kn, li)
+        delhat = 0.5 * hm_kn - _ext(zm, kn - 1, li) - hbl
+        r_frac = 1.0 - delhat / hm_kn
+
+        def match(dif):
+            d_m1 = _ext(dif, kn - 1, li)
+            d_0 = _ext(dif, kn, li)
+            d_p1 = _ext(dif, kn + 1, li)
+            dvdzup = (d_m1 - d_0) / hm_kn
+            dvdzdn = (d_0 - d_p1) / hm_knp1
+            dp = 0.5 * ((1.0 - r_frac) * (dvdzup + jnp.abs(dvdzup))
+                        + r_frac * (dvdzdn + jnp.abs(dvdzdn)))
+            return dp, d_0 + dp * delhat
+
+        viscp, visch = match(difm)
+        difsp, difsh = match(difs)
+        diftp, difth = match(dift)
+        f1 = stable * c.C1_WS * bfsfc / (ustar ** 4 + _EPS20)
+        gat1m = visch / hbl / (wm_h + _EPS20)
+        gat1s = difsh / hbl / (ws_h + _EPS20)
+        gat1t = difth / hbl / (ws_h + _EPS20)
+        dat1m = jnp.minimum(-viscp / (wm_h + _EPS20) + f1 * visch, 0.0)
+        dat1s = jnp.minimum(-difsp / (ws_h + _EPS20) + f1 * difsh, 0.0)
+        dat1t = jnp.minimum(-diftp / (ws_h + _EPS20) + f1 * difth, 0.0)
+
+        def shape(sig, gat1, dat1):
+            return (sig - 2.0) + (3.0 - 2.0 * sig) * gat1 + (sig - 1.0) * dat1
+
+        sig_i = (-_shr(zm, 1) + 0.5 * _shr(hm, 1)) / hbl   # lane j = ki = j
+        sigma_i = stable * sig_i + (1.0 - stable) * jnp.minimum(
+            sig_i, c.EPSILON_KPP)
+        wm_i, ws_i = wscale_nodal(sigma_i, hbl, ustar, bfsfc)
+        blmc_m = jnp.where(imask, hbl * wm_i * sig_i *
+                           (1.0 + sig_i * shape(sig_i, gat1m, dat1m)), 0.0)
+        blmc_s = jnp.where(imask, hbl * ws_i * sig_i *
+                           (1.0 + sig_i * shape(sig_i, gat1s, dat1s)), 0.0)
+        blmc_t = jnp.where(imask, hbl * ws_i * sig_i *
+                           (1.0 + sig_i * shape(sig_i, gat1t, dat1t)), 0.0)
+        ghat = jnp.where(imask,
+                         (1.0 - stable) * cg / (ws_i * hbl + _EPS20), 0.0)
+        # diffusivities at grid level kbl-1 (blmix :86-95)
+        sig_k = -_ext(zm, kbl - 2, li) / hbl
+        sigma_k = stable * sig_k + (1.0 - stable) * jnp.minimum(
+            sig_k, c.EPSILON_KPP)
+        wm_k, ws_k = wscale_nodal(sigma_k, hbl, ustar, bfsfc)
+        dkm1_m = hbl * wm_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1m, dat1m))
+        dkm1_s = hbl * ws_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1s, dat1s))
+        dkm1_t = hbl * ws_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1t, dat1t))
+
+        # ---- enhance at interface kbl-1 (enhance_mod :10-51) -------------
+        ki_e = kbl - 1
+        zm_em1 = _ext(zm, ki_e - 1, li)
+        zm_e = _ext(zm, ki_e, li)
+        delta = (hbl + zm_em1) / (zm_em1 - zm_e)
+        sel = (ki_e >= 1) & (ki_e <= nz - 1) & (li == ki_e)
+
+        def enh(dif, blmc_x, dkm1_x):
+            dif_e = _ext(dif, ki_e, li)
+            dkmp5 = case_a * dif_e + (1.0 - case_a) * _ext(blmc_x, ki_e, li)
+            dstar = (1.0 - delta) ** 2 * dkm1_x + delta ** 2 * dkmp5
+            return (1.0 - delta) * dif_e + delta * dstar
+
+        blmc_m = jnp.where(sel, enh(difm, blmc_m, dkm1_m), blmc_m)
+        blmc_s = jnp.where(sel, enh(difs, blmc_s, dkm1_s), blmc_s)
+        blmc_t = jnp.where(sel, enh(dift, blmc_t, dkm1_t), blmc_t)
+        ghat = jnp.where(sel, (1.0 - case_a) * ghat, ghat)
+
+        # ---- merge boundary-layer and interior (kppmix :100-124) ---------
+        inside = (li >= 1) & (li < kbl) & (li <= nz)
+        difm = jnp.where(inside, blmc_m, difm)
+        difs = jnp.where(inside, blmc_s, difs)
+        dift = jnp.where(inside, blmc_t, dift)
+        ghat = jnp.where((li >= kbl) & (li <= nz), 0.0, ghat)
+    else:
+        hbl = -zm[:, nz - 1:nz] * jnp.ones_like(rho0)
+        kbl = jnp.full_like(rho0, nz).astype(jnp.int32)
+        ghat = jnp.zeros_like(u)
+
+    # bottom diffusivity limits + no bottom ghat (verticalmixing :151-159)
+    botm = li >= nz
+    difm = jnp.where(botm, c.VLIMIT_BOTTOM, difm)
+    difs = jnp.where(botm, c.DLIMIT_BOTTOM, difs)
+    dift = jnp.where(botm, c.DLIMIT_BOTTOM, dift)
+    ghat = jnp.where(li == nz, 0.0, ghat)
+
+    # ---- ocnint: backward-Euler solves (ocnint_mod :19-221) --------------
+    row = li                               # row lane r = Fortran row r+1
+    dto_f = dto
+    f_cor = cs(CS_F)
+    # U / V with semi-implicit Coriolis (:44-72)
+    cu_m, cc_m, cl_m = _tridcof(difm, tdn, tup, nz, row)
+    rhs_u = uo + dto_f * f_cor * 0.5 * (vo + v)
+    rhs_u = rhs_u + jnp.where(row == 0, -dto_f * wu0x / hm[:, :1], 0.0)
+    difm_nz = difm[:, nz:nz + 1]
+    tdn_nz = tdn[:, nz:nz + 1]
+    rhs_u = rhs_u + jnp.where(row == nz - 1,
+                              tdn_nz * difm_nz * uo[:, nz:nz + 1], 0.0)
+    u_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_u, nz, row)
+    rhs_v = vo - dto_f * f_cor * 0.5 * (uo + u_sol)
+    rhs_v = rhs_v + jnp.where(row == 0, -dto_f * wu0y / hm[:, :1], 0.0)
+    rhs_v = rhs_v + jnp.where(row == nz - 1,
+                              tdn_nz * difm_nz * vo[:, nz:nz + 1], 0.0)
+    v_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_v, nz, row)
+
+    # temperature (:82-162)
+    kmixe = kbl
+    cu_t, cc_t, cl_t = _tridcof(dift, tdn, tup, nz, row)
+    rhs_t = _tridrhs(hm, to, wxnt_t, dift, ghat, wx0t, wx0t, dto_f, tdn,
+                     nz, row)
+    fcorr = cs(CS_FCORRP)
+    if flags.l_relax_sst and not flags.l_fcorr_withz and not flags.l_fcorr:
+        relax_sst = cs(CS_RELAX_SST)
+        sst0 = cs(CS_SST0)
+        do_rlx = relax_sst > 1.0e-10
+        dm_kmixe = _ext(dm, kmixe, li)
+        incr = dto_f * relax_sst * (sst0 - to[:, :1]) * dm_kmixe / hm[:, :1]
+        if not flags.l_relax_calconly:
+            rhs_t = rhs_t + jnp.where((row == 0) & do_rlx, incr, 0.0)
+        fcorr = jnp.where(do_rlx,
+                          relax_sst * (sst0 - to[:, :1]) * dm_kmixe
+                          * rho0 * cp0, 0.0)
+    if flags.l_fcorr and not flags.l_relax_sst and not flags.l_fcorr_withz:
+        rhs_t = rhs_t + jnp.where(
+            row == 0, dto_f * cs(CS_FCORR2D) / (rho0 * cp0 * hm[:, :1]), 0.0)
+    tinc = jnp.zeros_like(u)
+    if flags.l_fcorr_withz and not flags.l_fcorr:
+        tinc = tinc + dto_f * fcorr_z / (rho * cp)
+    if flags.l_relax_ocnt:
+        tinc = tinc + dto_f * cs(CS_RELAX_OCNT) * (ocnt_clim - to)
+    rhs_t = rhs_t + jnp.where(li <= nz - 1, tinc, 0.0)
+    ocntcorr = tinc * rho * cp / dto_f
+    t_sol = _pcr_solve(cu_t, cc_t, cl_t, rhs_t, nz, row)
+
+    # salinity (:164-219); wXNT(:,2) is identically zero in the reference
+    cu_s, cc_s, cl_s = _tridcof(difs, tdn, tup, nz, row)
+    rhs_s = _tridrhs(hm, so, jnp.zeros_like(u), difs, ghat, wx0s, wx0s,
+                     dto_f, tdn, nz, row)
+    sinc = jnp.zeros_like(u)
+    if flags.l_sfcorr_withz:
+        sinc = sinc + dto_f * sfcorr_z
+    if flags.l_relax_sal:
+        sinc = sinc + dto_f * cs(CS_RELAX_SAL) * (sal_clim - so)
+    rhs_s = rhs_s + jnp.where(li <= nz - 1, sinc, 0.0)
+    scorr = sinc / dto_f
+    s_sol = _pcr_solve(cu_s, cc_s, cl_s, rhs_s, nz, row)
+
+    # compose solutions: level nz held at the old value (tridmat :134-159)
+    def compose(sol, old):
+        return jnp.where(li < nz, sol, jnp.where(li == nz, old, 0.0))
+
+    u_n = compose(u_sol, uo)
+    v_n = compose(v_sol, vo)
+    t_n = compose(t_sol, to)
+    s_n = compose(s_sol, so)
+    hbl_b = hbl
+    kbl_f = kbl.astype(dtype)
+
+    if not full:
+        zcol = jnp.zeros_like(hbl_b)
+        colout = jnp.concatenate(
+            [hbl_b, kbl_f] + [zcol] * 6, axis=1)
+        return (u_n, v_n, t_n, s_n, u, v, t, s, colout)
+
+    uref_b = uref[:, nz - 1:nz]
+    vref_b = vref[:, nz - 1:nz]
+    zcol = jnp.zeros_like(hbl_b)
+    colout = jnp.concatenate(
+        [hbl_b, kbl_f, rhoh2o, fcorr, wu0x, wu0y, wx0t, wx0s, wx0b,
+         uref_b, vref_b, ustar] + [zcol] * 4, axis=1)
+    return (u_n, v_n, t_n, s_n, colout, difm, difs, dift, ghat, rho, cp,
+            alpha, beta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
+            tinc, sinc, ocntcorr, scorr)
+
+
+# ---------------------------------------------------------------------------
+# Wrappers: the same body as a plain XLA function or a Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+N_PROFILE_IN = 12      # u v t s ux vx tx sx uo vo to so
+N_IN_TOTAL = 25        # + swdk, swfrac, 4 forcing profiles, colscal, 5 grid rows, aref
+
+
+def n_fast_outputs():
+    return 9
+
+
+def n_full_outputs():
+    return 23
+
+
+def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
+                    *, full: bool, impl: str = "xla", block: int = 128):
+    """Build the fused-pass callable.
+
+    grid: VerticalGrid; returns fn(*arrays) -> tuple of outputs, where the
+    25 inputs are (u, v, t, s, ux, vx, tx, sx, uo, vo, to, so, swdk, swfrac,
+    ocnt_clim, sal_clim, fcorr_z, sfcorr_z, colscal, zm, hm, dm, tdn, tup,
+    aref) with profiles (ncol, WZ), colscal (ncol, NSC), grid rows (1, WZ),
+    aref (WZ, WZ).  Forcing profiles may be (1, WZ) dummies when the
+    corresponding flag is off.
+
+    impl: "xla" (traced body — CPU / float64 parity) | "pallas" (TPU kernel)
+    | "interpret" (Pallas interpreter — tests).
+    """
+    nz = grid.nz
+    wz = nz + 2
+    body = partial(_pass_body, nz=nz, flags=flags, dto=dto, full=full)
+    if impl == "xla":
+        return body
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if ncol % block != 0:
+        raise ValueError(f"ncol={ncol} must be a multiple of block={block}")
+    n_out = n_full_outputs() if full else n_fast_outputs()
+
+    def kernel(*refs):
+        ins = [r[:] for r in refs[:N_IN_TOTAL]]
+        outs = refs[N_IN_TOTAL:]
+        res = body(*ins)
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
+
+    def col_spec(a):
+        # (ncol, K) arrays blocked over columns; (1, K) broadcasts
+        if a.shape[0] == 1:
+            return pl.BlockSpec((1, a.shape[1]), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(*arrays):
+        assert len(arrays) == N_IN_TOTAL, len(arrays)
+        in_specs = []
+        for a in arrays[:-1]:
+            in_specs.append(col_spec(a))
+        aref = arrays[-1]
+        in_specs.append(pl.BlockSpec(aref.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_shapes = []
+        out_specs = []
+        # outputs: profiles (ncol, WZ) except colout at position 8 (fast)
+        # or 4 (full), which is (ncol, NSC-ish width)
+        colout_pos = 4 if full else 8
+        colout_w = 16 if full else 8
+        for k in range(n_out):
+            w = colout_w if k == colout_pos else wz
+            out_shapes.append(jax.ShapeDtypeStruct((ncol, w), dtype))
+            out_specs.append(pl.BlockSpec((block, w), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            kernel,
+            grid=(ncol // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=(impl == "interpret"),
+        )(*arrays)
+
+    return call

@@ -20,6 +20,13 @@ _DELTAZ = (c.WS_ZMAX - c.WS_ZMIN) / (c.WS_NI + 1)
 _DELTAU = (c.WS_UMAX - c.WS_UMIN) / (c.WS_NJ + 1)
 
 
+def _cbrt(x):
+    """Signed cube root via pow — Pallas/Mosaic has no cbrt lowering.
+    Matches jnp.cbrt to a few ulps; the deep-unstable branches that use it
+    are only selected where the argument is positive."""
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
 def build_tables(dtype=np.float64):
     """Build (wmt, wst) lookup tables of shape (892, 50).
 
@@ -73,11 +80,11 @@ def wscale_analytic(sigma, hbl, ustar, bfsfc):
     wm_unst = jnp.where(
         zeta > c.ZETAM,
         c.VONK * ustar * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
-        c.VONK * jnp.cbrt(c.AM * ucube - c.CM * zehat))
+        c.VONK * _cbrt(c.AM * ucube - c.CM * zehat))
     ws_unst = jnp.where(
         zeta > c.ZETAS,
         c.VONK * ustar * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
-        c.VONK * jnp.cbrt(c.AS_WS * ucube - c.CS * zehat))
+        c.VONK * _cbrt(c.AS_WS * ucube - c.CS * zehat))
     stable = zehat >= 0.0
     wm = jnp.where(stable, w_stab, wm_unst)
     ws = jnp.where(stable, w_stab, ws_unst)
@@ -91,10 +98,10 @@ def _node_wmws(zehat_n, usta_n):
     w_st = c.VONK * usta_n / (1.0 + c.C1_WS * zeta)
     wm_un = jnp.where(zeta > c.ZETAM,
                       c.VONK * usta_n * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
-                      c.VONK * jnp.cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
+                      c.VONK * _cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
     ws_un = jnp.where(zeta > c.ZETAS,
                       c.VONK * usta_n * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
-                      c.VONK * jnp.cbrt(c.AS_WS * usta_n ** 3 - c.CS * zehat_n))
+                      c.VONK * _cbrt(c.AS_WS * usta_n ** 3 - c.CS * zehat_n))
     stable = zehat_n >= 0.0
     return jnp.where(stable, w_st, wm_un), jnp.where(stable, w_st, ws_un)
 
