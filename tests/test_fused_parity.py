@@ -1,0 +1,133 @@
+"""Fused-pass parity: the fused one-kernel step (ops/fused_pass.py +
+ops/ocnstep_fused.py) must reproduce the per-column reference path
+(ops/ocnstep.py, vmapped) trajectory-exactly in float64, and the Pallas
+interpreter must match the traced XLA body bitwise-ish.
+
+This is the load-bearing oracle for the performance core: every branch the
+fused kernel takes (under-relaxation, EOS, rimix, bldepth scan, blmix,
+enhance, tridiagonal PCR solves, convergence masking, instability trap,
+damping, history ping-pong) is cross-checked against the independently
+written per-column implementation.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mckpp_tpu import (KppConfig, DomainConfig, TimeConfig, PhysicsFlags,
+                       ForcingConfig, BoundaryConfig, KppModel)
+from mckpp_tpu.grid import coriolis
+from mckpp_tpu.state import init_params
+from mckpp_tpu import forcing as forcing_mod
+
+NCOL, NZ = 3, 12
+
+
+def build(pass_impl, forcing_kw=None, boundary_kw=None, physics_kw=None,
+          lat=(5.0, 25.0, 45.0)):
+    cfg = KppConfig(
+        domain=DomainConfig(nx=NCOL, ny=1, nz=NZ, dmax=120.0),
+        time=TimeConfig(dtsec=1200.0, ndtocn=1, startt=0.0, finalt=1.0),
+        physics=PhysicsFlags(pass_impl=pass_impl, **(physics_kw or {})),
+        forcing=ForcingConfig(**(forcing_kw or {})),
+        boundary=BoundaryConfig(**(boundary_kw or {})))
+    model = KppModel(cfg)
+    nzp1 = NZ + 1
+    zm = np.asarray(model.grid.zm)
+    rng = np.random.RandomState(7)
+    t0 = 20.0 + 5.0 * np.exp(zm / 40.0) + 0.05 * rng.randn(NCOL, nzp1)
+    s0 = 35.0 - 0.3 * np.exp(zm / 60.0) + 0.01 * rng.randn(NCOL, nzp1)
+    u0 = 0.02 * rng.randn(NCOL, nzp1, 2)
+    prm = init_params(NCOL, nzp1)
+    prm = dataclasses.replace(prm, f=coriolis(jnp.asarray(lat)))
+    st, prm, frc = model.initial_state(u0, t0, s0, prm)
+    return model, st, prm, frc
+
+
+def run_steps(model, st, prm, frc, n):
+    for nt in range(1, n + 1):
+        raw = forcing_mod.constant_test_fluxes(NCOL)
+        st, frc = forcing_mod.update_fluxes(model.cfg, st, prm, frc, raw,
+                                            jnp.asarray(nt <= 1),
+                                            model.grid.dm)
+        st = model.step(st, prm, frc, first_step=(nt <= 1))
+    return st
+
+
+def assert_states_close(sa, sb, rtol, atol=1e-12):
+    for name in ("u", "x", "us", "xs", "hmix", "rho", "cp", "difm", "difs",
+                 "dift", "ghat", "wu", "wx", "wxnt", "swdk_opt", "hmixd",
+                 "tinc_fcorr", "sinc_fcorr", "scorr", "fcorr", "ssurf",
+                 "reset_flag", "dampu_flag", "dampv_flag"):
+        a, b = np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name))
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol, err_msg=f"field {name}")
+    np.testing.assert_array_equal(np.asarray(sa.kmix), np.asarray(sb.kmix))
+    np.testing.assert_array_equal(np.asarray(sa.old), np.asarray(sb.old))
+    np.testing.assert_array_equal(np.asarray(sa.new), np.asarray(sb.new))
+
+
+FEATURE_CASES = {
+    "default": {},
+    "ddmix": {"physics_kw": {"ldd": True}},
+    "damping": {"forcing_kw": {"l_damp_curr": True, "dtuvdamp": 360.0}},
+    "relax_sst": {"boundary_kw": {"l_relax_sst": True}},
+    "fcorr_withz": {"forcing_kw": {"l_fcorr_withz": True}},
+    "relax_ocnt_sal": {"boundary_kw": {"l_relax_ocnt": True,
+                                       "l_relax_sal": True}},
+}
+
+
+@pytest.mark.parametrize("case", sorted(FEATURE_CASES))
+def test_fused_matches_reference_trajectory(case):
+    kw = FEATURE_CASES[case]
+    model_r, st_r, prm_r, frc_r = build("reference", **kw)
+    model_f, st_f, prm_f, frc_f = build("fused_xla", **kw)
+    if kw.get("boundary_kw", {}).get("l_relax_sst"):
+        rlx = jnp.full((NCOL,), 1.0 / (5.0 * 86400.0))
+        prm_r = dataclasses.replace(prm_r, relax_sst=rlx)
+        prm_f = dataclasses.replace(prm_f, relax_sst=rlx)
+        frc_r = dataclasses.replace(frc_r, sst0=jnp.full((NCOL,), 24.0))
+        frc_f = dataclasses.replace(frc_f, sst0=jnp.full((NCOL,), 24.0))
+    if kw.get("boundary_kw", {}).get("l_relax_ocnt"):
+        ro = jnp.full((NCOL,), 1.0 / (3.0 * 86400.0))
+        rs = jnp.full((NCOL,), 1.0 / (4.0 * 86400.0))
+        nzp1 = NZ + 1
+        oc = jnp.tile(jnp.asarray(np.linspace(22.0, 10.0, nzp1)), (NCOL, 1))
+        sc = jnp.zeros((NCOL, nzp1)) + 0.1
+        prm_r = dataclasses.replace(prm_r, relax_ocnt=ro, relax_sal=rs)
+        prm_f = dataclasses.replace(prm_f, relax_ocnt=ro, relax_sal=rs)
+        frc_r = dataclasses.replace(frc_r, ocnt_clim=oc, sal_clim=sc)
+        frc_f = dataclasses.replace(frc_f, ocnt_clim=oc, sal_clim=sc)
+    if kw.get("forcing_kw", {}).get("l_fcorr_withz"):
+        fz = jnp.tile(jnp.asarray(np.linspace(30.0, 0.0, NZ + 1)), (NCOL, 1))
+        frc_r = dataclasses.replace(frc_r, fcorr_withz=fz)
+        frc_f = dataclasses.replace(frc_f, fcorr_withz=fz)
+
+    out_r = run_steps(model_r, st_r, prm_r, frc_r, n=4)
+    out_f = run_steps(model_f, st_f, prm_f, frc_f, n=4)
+    assert_states_close(out_f, out_r, rtol=1e-9)
+
+
+def test_pallas_interpret_matches_fused_xla():
+    """The identical kernel body under the Pallas interpreter (what runs on
+    TPU, minus Mosaic codegen) must match the traced XLA path."""
+    model_f, st_f, prm_f, frc_f = build("fused_xla")
+    model_p, st_p, prm_p, frc_p = build(
+        "pallas_interpret", physics_kw={"pass_block": NCOL})
+    out_f = run_steps(model_f, st_f, prm_f, frc_f, n=2)
+    out_p = run_steps(model_p, st_p, prm_p, frc_p, n=2)
+    assert_states_close(out_p, out_f, rtol=1e-12, atol=1e-14)
+
+
+def test_fused_handles_land_mask():
+    """Inactive (land) columns must pass through the fused step unchanged."""
+    model, st, prm, frc = build("fused_xla")
+    prm = dataclasses.replace(
+        prm, run_physics=jnp.asarray([True, False, True]))
+    out = run_steps(model, st, prm, frc, n=2)
+    np.testing.assert_array_equal(np.asarray(out.x[1]), np.asarray(st.x[1]))
+    assert not np.allclose(np.asarray(out.x[0]), np.asarray(st.x[0]))
