@@ -11,6 +11,13 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# Import Pallas BEFORE deregistering the tpu backend factory: Pallas
+# registers MLIR lowering rules per known platform at import time and
+# raises NotImplementedError("unknown platform tpu") if the factory set
+# no longer contains "tpu" when it first loads.
+import jax.experimental.pallas  # noqa: E402,F401
+
 from jax._src import xla_bridge as _xb  # noqa: E402
 
 for _plat in ("axon", "tpu"):
