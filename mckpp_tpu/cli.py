@@ -23,9 +23,10 @@ from .utils.timer import Timers
 from .utils.logging import mckpp_print
 from . import setup as setup_mod
 from . import forcing as forcing_mod
-from .io.diagnostics import DiagnosticsManager, default_streams
+from .io.diagnostics import DiagnosticsManager, default_streams, Stream
 from .io.restart import RestartControl
 from .parallel import sharding as shard
+from .parallel import distributed as dist
 
 
 def main(argv=None):
@@ -37,12 +38,22 @@ def main(argv=None):
                    help="override number of ocean timesteps")
     p.add_argument("--multi-device", action="store_true",
                    help="shard the column axis over all local devices")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize, shard the "
+                        "column axis over every chip of every host")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        dist.initialize()
 
     routine = "MCKPP_TPU_MAIN"
     timers = Timers()
     timers.start("Initialization")
     cfg, extras = nml.load_config(args.namelist)
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # the reference compiles with -fdefault-real-8; honor it rather than
+        # silently truncating every array to f32
+        jax.config.update("jax_enable_x64", True)
     mckpp_print(routine, f"read namelist {args.namelist}")
     model, st, prm, frc, flux_provider, mgr = setup_mod.build(
         cfg, args.data_dir)
@@ -50,38 +61,39 @@ def main(argv=None):
     mckpp_print(routine, f"initialized {ncol} columns x {model.grid.nz} levels")
 
     step_fn = model.step
-    ncol0 = ncol
     unpad = lambda tree: tree
-    if args.multi_device and len(jax.devices()) > 1:
+    if (args.multi_device or args.distributed) and len(jax.devices()) > 1:
         mesh = shard.make_mesh()
-        n = len(mesh.devices.flat)
-        st, ncol0 = shard.pad_columns(st, n)
-        prm, _ = shard.pad_columns(prm, n)
-        frc, _ = shard.pad_columns(frc, n)
-        st = shard.shard_columns(st, mesh)
-        prm = shard.shard_columns(prm, mesh)
-        frc = shard.shard_columns(frc, mesh)
-        ncol = jax.tree_util.tree_leaves(st)[0].shape[0]
+        layout = dist.make_layout(ncol, mesh)
+        st = layout.shard_tree(st)
+        prm = layout.shard_tree(prm)
+        frc = layout.shard_tree(frc)
+        mgr.set_layout(layout)
+        ncol = layout.ncol
         sharded = shard.make_sharded_step(model, mesh)
 
         def step_fn(s, pr, fr, first_step=False):
             return sharded(s, pr, fr, jnp.asarray(first_step))
 
-        def unpad(tree):
-            return shard.unpad_columns(tree, ncol0)
+        unpad = layout.gather_tree
 
         if flux_provider is not None:
             inner_provider = flux_provider
 
             def flux_provider(time_days):
                 raw = inner_provider(time_days)
-                padded, _ = shard.pad_columns(raw, n)
-                return padded
+                return jax.tree_util.tree_map(layout.global_array, raw)
 
-        mckpp_print(routine, f"sharded over {n} devices")
+        mckpp_print(
+            routine,
+            f"sharded over {layout.n_devices} devices "
+            f"({jax.process_count()} hosts), {ncol} padded columns")
 
+    streams = ([Stream(name, red, freq)
+                for (name, red, freq) in cfg.output.streams]
+               or default_streams(cfg.time.ndtocn))
     diag = DiagnosticsManager(
-        default_streams(cfg.time.ndtocn), cfg.domain.nx, cfg.domain.ny,
+        streams, cfg.domain.nx, cfg.domain.ny,
         model.grid.zm, outdir=args.output_dir,
         start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto)
     restart = RestartControl(

@@ -160,6 +160,13 @@ class ForcingConfig:
 @dataclass(frozen=True)
 class BoundaryConfig:
     """NAME_COUPLE-ish SST/ice boundary updates + NAME_ADVEC relaxation."""
+    # coupling weight (reference: mckpp_initialize_coupling_weight_mod.F90;
+    # uncoupled builds read alpha over the KPP domain when l_cplwght is set,
+    # and coupled runs gate run_physics on cplwght > 0,
+    # mckpp_initialize_fields_mod.F90:146-153)
+    l_couple: bool = False
+    l_cplwght: bool = False
+    cplwght_file: str = ""
     l_climsst: bool = False
     l_upd_climsst: bool = False
     l_periodic_climsst: bool = False
@@ -174,6 +181,10 @@ class BoundaryConfig:
     climice_period: int = 360
     l_clim_ice_depth: bool = False
     l_clim_snow_on_ice: bool = False
+    l_climcurr: bool = False          # climatological surface currents (the
+                                      # reference has no reader for them; the
+                                      # SST read zeroes usf/vsf when off,
+                                      # mckpp_read_sst_mod.F90:92-96)
     # relaxation (NAME_ADVEC; reference: mckpp_initialize_relaxation_mod.F90)
     l_relax_sst: bool = False
     l_relax_calconly: bool = False

@@ -165,6 +165,12 @@ class BoundaryManager:
         self.cfg = cfg
         self.nzp1 = nzp1
         self.sref = np.asarray(sref)
+        # column layout for padded/sharded runs (set by set_layout): every
+        # array entering Forcing is padded to the device multiple and placed
+        # with the column sharding, so ancillary refreshes keep the Forcing
+        # pytree shape- and sharding-consistent under multi-device/multi-host
+        # execution (each host feeds only its own devices).
+        self.layout = None
         d, f, b = cfg.domain, cfg.forcing, cfg.boundary
         mk = lambda path: AncillaryReader(path, lon0, lat0, d.nx, d.ny)
         self.sst = mk(b.sst_file) if b.l_climsst or b.l_upd_climsst else None
@@ -176,6 +182,16 @@ class BoundaryManager:
         need_sal = (b.l_relax_sal or f.l_upd_sal or f.l_no_isotherm)
         self.ocnt = mk(f.ocnt_file) if need_ocnt else None
         self.sal = mk(f.sal_file) if need_sal else None
+
+    def set_layout(self, layout) -> None:
+        """Attach a parallel.distributed.ColumnLayout (or None)."""
+        self.layout = layout
+
+    def _dev(self, arr):
+        """Host array -> device array honoring the column layout."""
+        if self.layout is None:
+            return jnp.asarray(arr)
+        return self.layout.global_array(np.asarray(arr))
 
     # ---- individual reads -------------------------------------------------
     def _upd(self, reader, ndt, periodic, period, method):
@@ -190,7 +206,31 @@ class BoundaryManager:
         sst = _kelvin_to_celsius(self.sst.read2d("sst", pos))
         # uncoupled: SST0 is the (ifirst=jfirst=1) slice = the whole domain
         # (mckpp_physics_overrides_sst0)
-        return dataclasses.replace(frc, sst0=jnp.asarray(sst))
+        frc = dataclasses.replace(frc, sst0=self._dev(sst))
+        # the SST read zeroes ice/surface-current climatologies when their
+        # own readers are off (mckpp_read_sst_mod.F90:88-96)
+        if not b.l_climice:
+            frc = dataclasses.replace(frc, iceconc=jnp.zeros_like(frc.iceconc))
+        if not b.l_climcurr:
+            frc = dataclasses.replace(frc, usf=jnp.zeros_like(frc.usf),
+                                      vsf=jnp.zeros_like(frc.vsf))
+        return frc
+
+    def read_ice(self, frc: Forcing) -> Forcing:
+        """Climatological sea-ice concentration (+ optional depth/snow)
+        on the ndtupdice cadence (mckpp_read_ice_mod.F90:57-118)."""
+        b = self.cfg.boundary
+        _, pos = self._upd(self.ice, b.ndtupdice, b.l_periodic_climice,
+                           b.climice_period, 1)
+        frc = dataclasses.replace(
+            frc, iceconc=self._dev(self.ice.read2d("iceconc", pos)))
+        if b.l_clim_ice_depth:
+            frc = dataclasses.replace(
+                frc, icedepth=self._dev(self.ice.read2d("icedepth", pos)))
+        if b.l_clim_snow_on_ice:
+            frc = dataclasses.replace(
+                frc, snowdepth=self._dev(self.ice.read2d("snowdepth", pos)))
+        return frc
 
     def read_fcorr(self, frc: Forcing) -> Forcing:
         f = self.cfg.forcing
@@ -198,11 +238,11 @@ class BoundaryManager:
             _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
                                f.fcorr_period, 1)
             fz = self.fcorr.read3d("fcorr", pos, self.nzp1)
-            return dataclasses.replace(frc, fcorr_withz=jnp.asarray(fz))
+            return dataclasses.replace(frc, fcorr_withz=self._dev(fz))
         _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
                            f.fcorr_period, 2)
         f2 = self.fcorr.read2d("fcorr", pos)
-        return dataclasses.replace(frc, fcorr_twod=jnp.asarray(f2))
+        return dataclasses.replace(frc, fcorr_twod=self._dev(f2))
 
     def read_sfcorr(self, frc: Forcing) -> Forcing:
         f = self.cfg.forcing
@@ -210,18 +250,18 @@ class BoundaryManager:
             _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr,
                                f.l_periodic_sfcorr, f.sfcorr_period, 1)
             sz = self.sfcorr.read3d("sfcorr", pos, self.nzp1)
-            return dataclasses.replace(frc, sfcorr_withz=jnp.asarray(sz))
+            return dataclasses.replace(frc, sfcorr_withz=self._dev(sz))
         _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr, f.l_periodic_sfcorr,
                            f.sfcorr_period, 2)
         s2 = self.sfcorr.read2d("sfcorr", pos)
-        return dataclasses.replace(frc, sfcorr_twod=jnp.asarray(s2))
+        return dataclasses.replace(frc, sfcorr_twod=self._dev(s2))
 
     def read_bottom(self, frc: Forcing) -> Forcing:
         f = self.cfg.forcing
         _, pos = self._upd(self.bottom, f.ndtupdbottom,
                            f.l_periodic_bottom_temp, f.bottom_temp_period, 1)
         bt = _kelvin_to_celsius(self.bottom.read2d("T", pos))
-        return dataclasses.replace(frc, bottom_temp=jnp.asarray(bt))
+        return dataclasses.replace(frc, bottom_temp=self._dev(bt))
 
     def read_ocnt(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
         f = self.cfg.forcing
@@ -234,7 +274,7 @@ class BoundaryManager:
         finally:
             self._time = saved
         t3 = self.ocnt.read3d("temperature", pos, self.nzp1)
-        return dataclasses.replace(frc, ocnt_clim=jnp.asarray(t3))
+        return dataclasses.replace(frc, ocnt_clim=self._dev(t3))
 
     def read_sal(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
         f = self.cfg.forcing
@@ -247,7 +287,7 @@ class BoundaryManager:
         finally:
             self._time = saved
         s3 = self.sal.read3d("salinity", pos, self.nzp1) - self.sref[:, None]
-        return dataclasses.replace(frc, sal_clim=jnp.asarray(s3))
+        return dataclasses.replace(frc, sal_clim=self._dev(s3))
 
     # ---- time interpolation (mckpp_boundary_interpolate.F90) -------------
     def _interp(self, frc, read_fn, ndt_upd, period, field):
@@ -261,9 +301,11 @@ class BoundaryManager:
             prev_weight = (nd - (true_time - prev_time)) / nd
         next_time = prev_time + nd
         next_weight = 1.0 - prev_weight
-        prev = np.asarray(getattr(read_fn(frc, at_time=prev_time), field))
-        nxt = np.asarray(getattr(read_fn(frc, at_time=next_time), field))
-        blend = jnp.asarray(nxt * next_weight + prev * prev_weight)
+        # device-side blend: reads are already padded/sharded by _dev, so
+        # the weighted sum stays shard-local (works multi-host too)
+        prev = getattr(read_fn(frc, at_time=prev_time), field)
+        nxt = getattr(read_fn(frc, at_time=next_time), field)
+        blend = nxt * next_weight + prev * prev_weight
         return dataclasses.replace(frc, **{field: blend})
 
     def interp_ocnt(self, frc: Forcing) -> Forcing:
@@ -283,6 +325,8 @@ class BoundaryManager:
         f, b = cfg.forcing, cfg.boundary
         if b.l_climsst:
             frc = self.read_sst(frc)
+        if b.l_climice:
+            frc = self.read_ice(frc)
         if f.l_fcorr_withz or f.l_fcorr:
             frc = self.read_fcorr(frc)
         if f.l_sfcorr_withz or f.l_sfcorr:
@@ -309,6 +353,8 @@ class BoundaryManager:
 
         if b.l_upd_climsst and due(b.ndtupdsst):
             frc = self.read_sst(frc)
+        if b.l_upd_climice and due(b.ndtupdice):
+            frc = self.read_ice(frc)
         if f.l_upd_fcorr and due(f.ndtupdfcorr) and (f.l_fcorr_withz or f.l_fcorr):
             frc = self.read_fcorr(frc)
         if f.l_upd_sfcorr and due(f.ndtupdsfcorr) and (f.l_sfcorr_withz or f.l_sfcorr):

@@ -113,6 +113,67 @@ def export_reference_restart(path: str, st: State, prm: ColumnParams,
     return path
 
 
+def import_reference_restart(path: str, st: State, prm: ColumnParams,
+                             grid=None):
+    """Read a reference-format NetCDF restart (the field set of
+    mckpp_xios_restart_input, mckpp_xios_io.F90:436-465) into
+    (State, ColumnParams).
+
+    Work arrays not in the reference restart (diffusivities, fluxes,
+    correction fields) stay at their initial values — exactly the
+    reference's resume semantics, where ntime restarts at 1 and the first
+    vertical-mixing call rebuilds them.  The swfrac/swdk_opt caches are
+    reseeded here (the reference rebuilds them at ntime <= 1,
+    mckpp_fluxes_mod.F90:101-106, bldepth:113-115).
+
+    Returns (state, params, time_days) with time_days the validity time
+    stored in the file.
+    """
+    import jax
+
+    with ncio.open_nc(path) as nc:
+        def f3(name):                     # (z, y, x) -> (ncol, nzp1)
+            a = ncio.get_var(nc, name)
+            return jnp.asarray(np.moveaxis(a, 0, -1).reshape(-1, a.shape[0]))
+
+        def f2(name):                     # (y, x) -> (ncol,)
+            return jnp.asarray(ncio.get_var(nc, name).reshape(-1))
+
+        def f4(name):                     # (two, z, y, x) -> (ncol, nzp1, 2)
+            a = ncio.get_var(nc, name)
+            two, nz1 = a.shape[0], a.shape[1]
+            flat = a.reshape(two, nz1, -1)
+            return jnp.asarray(np.transpose(flat, (2, 1, 0)))
+
+        dtype = st.u.dtype
+        u = jnp.stack([f3("uvel"), f3("vvel")], axis=-1).astype(dtype)
+        x = jnp.stack([f3("T"), f3("S")], axis=-1).astype(dtype)
+        us = jnp.stack([f4("Us"), f4("Vs")], axis=-2).astype(dtype)
+        xs = jnp.stack([f4("Ts"), f4("Ss")], axis=-2).astype(dtype)
+        hmixd_in = ncio.get_var(nc, "hmixd")           # (two, y, x)
+        hmixd = jnp.asarray(hmixd_in.reshape(2, -1).T).astype(dtype)
+        st = dataclasses.replace(
+            st, u=u, x=x, us=us, xs=xs, hmixd=hmixd,
+            cp=f3("CP").astype(dtype), rho=f3("rho").astype(dtype),
+            hmix=f2("hmix").astype(dtype),
+            kmix=f2("kmix").astype(jnp.int32),
+            ssurf=f2("Ssurf").astype(dtype), tref=f2("Tref").astype(dtype),
+            old=f2("old").astype(jnp.int32),
+            new=f2("new").astype(jnp.int32))
+        prm = dataclasses.replace(
+            prm, sref=f2("Sref").astype(dtype),
+            ssref=f2("SSref").astype(dtype))
+        time_days = float(ncio.get_var(nc, "time").reshape(-1)[0])
+
+    if grid is not None:
+        from ..ops.swfrac import swfrac_levels, swdk
+        swf = jax.vmap(lambda j: swfrac_levels(1.0, grid.zm, j))(prm.jerlov)
+        swdk_opt = jax.vmap(lambda j: swdk(-grid.dm, j))(prm.jerlov)
+        st = dataclasses.replace(st, swfrac=swf.astype(st.u.dtype),
+                                 swdk_opt=swdk_opt.astype(st.u.dtype))
+    return st, prm, time_days
+
+
 class RestartControl:
     """Restart-write cadence (reference: mckpp_restart_control,
     mckpp_xios_control.F90:61-83): write every ndt_per_restart steps and at

@@ -155,6 +155,20 @@ def load_advection(cfg: KppConfig, data_dir: str, lon0, lat0, nx, ny,
     return nmode, mode, adv
 
 
+def load_cplwght(cfg: KppConfig, data_dir: str, lon0, lat0, nx, ny) -> np.ndarray:
+    """Coupling weight alpha (reference:
+    mckpp_initialize_coupling_weight_mod.F90:22-55): read over the KPP
+    domain when l_couple/l_cplwght, else zeros."""
+    b = cfg.boundary
+    if not (b.l_couple or b.l_cplwght):
+        return np.zeros(nx * ny)
+    path = os.path.join(data_dir, b.cplwght_file)
+    with ncio.open_nc(path) as nc:
+        olon, olat = ncio.determine_boundaries(nc, lon0, lat0)
+        alpha = ncio.get_var(nc, "alpha")[olat:olat + ny, olon:olon + nx]
+    return alpha.reshape(-1)
+
+
 def relaxation_rates(cfg: KppConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-column relaxation rates 1/(tau_days * spd) from per-latitude-row
     timescales (reference: mckpp_initialize_relaxation_mod.F90)."""
@@ -193,6 +207,12 @@ def build(cfg: KppConfig, data_dir: str = "."):
     nmode, mode, adv = load_advection(cfg, data_dir, dlon[0], dlat[0],
                                       d.nx, d.ny)
     r_sst, r_sal, r_ocnt = relaxation_rates(cfg)
+    cplwght = load_cplwght(cfg, data_dir, dlon[0], dlat[0], d.nx, d.ny)
+    # run_physics gating (mckpp_initialize_fields_mod.F90:146-153)
+    if cfg.boundary.l_couple:
+        run_physics = l_ocean & (cplwght > 0.0)
+    else:
+        run_physics = l_ocean
 
     prm = init_params(d.npts, nzp1, dtype=model.dtype)
     prm = dataclasses.replace(
@@ -203,7 +223,8 @@ def build(cfg: KppConfig, data_dir: str = "."):
         ocdepth=jnp.asarray(ocdepth, model.dtype),
         jerlov=jnp.asarray(jerlov),
         l_ocean=jnp.asarray(l_ocean),
-        run_physics=jnp.asarray(l_ocean),
+        run_physics=jnp.asarray(run_physics),
+        cplwght=jnp.asarray(cplwght, model.dtype),
         relax_sst=jnp.asarray(r_sst, model.dtype),
         relax_sal=jnp.asarray(r_sal, model.dtype),
         relax_ocnt=jnp.asarray(r_ocnt, model.dtype),
@@ -211,14 +232,36 @@ def build(cfg: KppConfig, data_dir: str = "."):
         advection=jnp.asarray(adv, model.dtype))
 
     if cfg.init.l_restart:
-        st, prm, frc, _, _ = restart_io.load_restart(
-            os.path.join(data_dir, cfg.init.restart_infile))
+        rpath = os.path.join(data_dir, cfg.init.restart_infile)
+        if rpath.endswith(".npz"):
+            # native bit-exact checkpoint
+            st, prm, frc, _, _ = restart_io.load_restart(rpath)
+        else:
+            # reference-format NetCDF restart (mckpp_xios_io.F90:436-465)
+            from .state import init_state, init_forcing
+            st = init_state(d.npts, nzp1, model.dtype)
+            frc = init_forcing(d.npts, nzp1, model.dtype)
+            st, prm, _ = restart_io.import_reference_restart(
+                rpath, st, prm, grid=model.grid)
     else:
         u0, t0, s0 = load_initial_profiles(cfg, data_dir, model_z,
                                            dlon[0], dlat[0], d.nx, d.ny)
         st, prm, frc = model.initial_state(u0, t0, s0, prm)
 
-    mgr = BoundaryManager(cfg, dlon[0], dlat[0], nzp1, np.asarray(prm.sref))
+    # ancillary file paths are namelist-relative: prefix the data dir
+    join = lambda p: os.path.join(data_dir, p) if p not in ("", "none") else p
+    cfg_anc = dataclasses.replace(
+        cfg,
+        boundary=dataclasses.replace(
+            cfg.boundary, sst_file=join(cfg.boundary.sst_file),
+            ice_file=join(cfg.boundary.ice_file)),
+        forcing=dataclasses.replace(
+            cfg.forcing, fcorr_file=join(cfg.forcing.fcorr_file),
+            sfcorr_file=join(cfg.forcing.sfcorr_file),
+            bottom_file=join(cfg.forcing.bottom_file),
+            ocnt_file=join(cfg.forcing.ocnt_file),
+            sal_file=join(cfg.forcing.sal_file)))
+    mgr = BoundaryManager(cfg_anc, dlon[0], dlat[0], nzp1, np.asarray(prm.sref))
     frc = mgr.initial_reads(cfg.time.startt, frc)
 
     flux_provider = None

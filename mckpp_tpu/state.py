@@ -132,6 +132,14 @@ class Forcing:
     sal_clim: jax.Array      # (..., nzp1) salinity climatology (Sref removed)
     ocnt_clim: jax.Array     # (..., nzp1) temperature climatology
     bottom_temp: jax.Array   # (...,)
+    # sea-ice / surface-current climatologies (reference:
+    # mckpp_read_ice_mod.F90:57-118; zeroed by the SST read when their
+    # climatologies are off, mckpp_read_sst_mod.F90:88-96)
+    iceconc: jax.Array       # (...,) sea-ice concentration
+    icedepth: jax.Array      # (...,) (only read if l_clim_ice_depth)
+    snowdepth: jax.Array     # (...,) (only read if l_clim_snow_on_ice)
+    usf: jax.Array           # (...,) climatological surface currents
+    vsf: jax.Array
 
 
 def init_state(ncol: int, nzp1: int, dtype=jnp.float64) -> State:
@@ -168,6 +176,8 @@ def init_forcing(ncol: int, nzp1: int, dtype=jnp.float64) -> Forcing:
         fcorr_withz=zf(ncol, nzp1), sfcorr_withz=zf(ncol, nzp1),
         sal_clim=zf(ncol, nzp1), ocnt_clim=zf(ncol, nzp1),
         bottom_temp=zf(ncol),
+        iceconc=zf(ncol), icedepth=zf(ncol), snowdepth=zf(ncol),
+        usf=zf(ncol), vsf=zf(ncol),
     )
 
 

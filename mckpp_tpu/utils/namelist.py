@@ -192,6 +192,10 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
         climice_period=int(get("NAME_COUPLE", "CLIMICE_PERIOD", 360)),
         l_clim_ice_depth=bool(get("NAME_COUPLE", "L_CLIM_ICE_DEPTH", False)),
         l_clim_snow_on_ice=bool(get("NAME_COUPLE", "L_CLIM_SNOW_ON_ICE", False)),
+        l_climcurr=bool(get("NAME_COUPLE", "L_CLIMCURR", False)),
+        l_couple=bool(get("NAME_COUPLE", "L_COUPLE", False)),
+        l_cplwght=bool(get("NAME_COUPLE", "L_CPLWGHT", False)),
+        cplwght_file=str(get("NAME_COUPLE", "CPLWGHT_FILE", "")),
         l_relax_sst=bool(get("NAME_ADVEC", "L_RELAX_SST", False)),
         l_relax_calconly=bool(get("NAME_ADVEC", "L_RELAX_CALCONLY", False)),
         l_relax_sal=bool(get("NAME_ADVEC", "L_RELAX_SAL", False)),

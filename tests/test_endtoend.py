@@ -20,7 +20,7 @@ DTSEC = 3600.0
 NDTOCN = 3
 
 
-def write_inputs(d):
+def write_inputs(d, sst=False):
     lons = 90.0 + 0.5 * np.arange(NX)
     lats = -5.0 + 0.5 * np.arange(NY)
     # land-sea mask: one land point
@@ -83,6 +83,24 @@ def write_inputs(d):
         {"longitude": ("longitude", lons), "latitude": ("latitude", lats)},
         {"jerlov": (("latitude", "longitude"), np.full((NY, NX), 3.0))})
 
+    couple_extra = ""
+    advec_extra = ""
+    if sst:
+        # SST climatology on the ndtupdsst cadence (times at window centres)
+        nsst = 30
+        stimes = (np.arange(nsst) + 0.5) * (3 * DTSEC / NDTOCN) / SPD
+        sst_data = (24.0 + np.linspace(0, 1, NY * NX).reshape(NY, NX)
+                    [None, :, :] + 0.1 * stimes[:, None, None])
+        ncio.write_fields(
+            str(d / "sst.nc"),
+            {"t": nsst, "longitude": NX, "latitude": NY},
+            {"t": ("t", stimes),
+             "longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+            {"sst": (("t", "latitude", "longitude"), sst_data)})
+        couple_extra = (" L_CLIMSST=.T., L_UPD_CLIMSST=.T., "
+                        "sstin_file='sst.nc', ndtupdsst=3,")
+        advec_extra = " L_RELAX_SST=.T., relax_sst_in=2.0,2.0,2.0,"
+
     namelist = f"""
  &NAME_PARAMETERS
  nz={NZ}, nx={NX}, ny={NY}, ngrid={NZ}, nztmax={NZ+14},
@@ -103,8 +121,8 @@ def write_inputs(d):
  &NAME_TIMES
  dtsec={DTSEC}, startt=0.0, finalt=0.25, ndtocn={NDTOCN}
  &END
- &NAME_COUPLE L_COUPLE=.F. &END
- &NAME_ADVEC L_ADVECT=.F. &END
+ &NAME_COUPLE L_COUPLE=.F.,{couple_extra} &END
+ &NAME_ADVEC L_ADVECT=.F.,{advec_extra} &END
  &NAME_PARAS
  paras_file='paras.nc', L_JERLOV=.T.
  &END
@@ -172,3 +190,35 @@ def test_cli_multi_device(tmp_path):
                    "--steps", "3", "--multi-device"])
     assert rc == 0
     assert (out / "kpp_1h_inst.nc").exists()
+
+
+def test_cli_multi_device_with_ancillaries(tmp_path):
+    """Multi-device run WITH per-step SST-climatology updates + SST
+    relaxation: the BoundaryManager must produce padded/sharded arrays so
+    the ancillary cadence can fire mid-run (round-1 bug: shape mismatch).
+    The 8-device trajectory must match the single-device one."""
+    write_inputs(tmp_path, sst=True)
+    from mckpp_tpu import cli
+    out1 = tmp_path / "out1"
+    out8 = tmp_path / "out8"
+    out1.mkdir()
+    out8.mkdir()
+    rc = cli.main(["--namelist", str(tmp_path / "3D_ocn.nml"),
+                   "--data-dir", str(tmp_path),
+                   "--output-dir", str(out1), "--steps", "9"])
+    assert rc == 0
+    rc = cli.main(["--namelist", str(tmp_path / "3D_ocn.nml"),
+                   "--data-dir", str(tmp_path),
+                   "--output-dir", str(out8),
+                   "--steps", "9", "--multi-device"])
+    assert rc == 0
+    with ncio.open_nc(str(out1 / "kpp_1h_inst.nc")) as nc:
+        t1 = ncio.get_var(nc, "T")
+        f1 = ncio.get_var(nc, "fcorr")
+    with ncio.open_nc(str(out8 / "kpp_1h_inst.nc")) as nc:
+        t8 = ncio.get_var(nc, "T")
+        f8 = ncio.get_var(nc, "fcorr")
+    np.testing.assert_allclose(t8, t1, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(f8, f1, rtol=1e-12, atol=1e-9)
+    # relaxation must actually be active (non-vacuous): fcorr nonzero on sea
+    assert np.any(f1 != 0.0), "SST relaxation produced no flux correction"

@@ -136,3 +136,47 @@ def test_reference_restart_export(tmp_path):
             assert name in nc.variables, name
         t = ncio.get_var(nc, "T")
     assert t.shape == (model.grid.nzp1, 2, 2)
+
+
+def test_reference_restart_import_roundtrip(tmp_path):
+    """Export -> import -> step must equal native-resume -> step: the
+    reference restart field set (mckpp_xios_io.F90:436-465) carries
+    everything needed for exact continuation."""
+    from mckpp_tpu.state import init_state, init_forcing
+
+    model, st, prm, frc = _build(ncol=4, nx=2, ny=2)
+    # advance a few steps so the history/phase state is non-trivial
+    st, frc = model.run(st, prm, frc, num_steps=3)
+    path = rst.export_reference_restart(
+        str(tmp_path / "ref_restart.nc"), st, prm, 2, 2, 0.0, 1200.0)
+
+    nzp1 = model.grid.nzp1
+    st_i = init_state(4, nzp1, model.dtype)
+    prm_i = dataclasses.replace(init_params(4, nzp1),
+                                f=prm.f, jerlov=prm.jerlov,
+                                u_init=prm.u_init)
+    st_i, prm_i, tdays = rst.import_reference_restart(
+        path, st_i, prm_i, grid=model.grid)
+    assert tdays == pytest.approx(1200.0 / 86400.0)
+
+    # imported prognostic + history fields match the source state exactly
+    for name in ("u", "x", "us", "xs", "hmixd", "hmix", "old", "new",
+                 "rho", "cp", "ssurf", "tref"):
+        np.testing.assert_array_equal(np.asarray(getattr(st, name)),
+                                      np.asarray(getattr(st_i, name)),
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(prm.sref), np.asarray(prm_i.sref))
+
+    # one further step from the import == one further step natively
+    def advance(s, p, f):
+        raw = forcing_mod.constant_test_fluxes(4)
+        s, f = forcing_mod.update_fluxes(model.cfg, s, p, f, raw,
+                                         jnp.asarray(False), model.grid.dm)
+        return model.step(s, p, f, first_step=False)
+
+    st_nat = advance(st, prm, frc)
+    st_imp = advance(st_i, prm_i, init_forcing(4, nzp1, model.dtype))
+    for name in ("u", "x", "hmix", "us", "xs", "old", "new"):
+        np.testing.assert_allclose(np.asarray(getattr(st_nat, name)),
+                                   np.asarray(getattr(st_imp, name)),
+                                   rtol=1e-12, atol=1e-14, err_msg=name)
