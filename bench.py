@@ -20,6 +20,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def parity_check(ge, nz):
+    """On-chip correctness oracle: one step of the production Pallas kernel
+    vs the fused-XLA body on identical inputs; prints max rel diffs to
+    stderr and aborts the bench on disagreement (so a perf number is never
+    recorded for a wrong kernel)."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return
+    ncol = 512
+    model_p, st_p, prm, frc = ge._build(ncol=ncol, nz=nz, dtype="float32",
+                                        pass_impl="pallas")
+    model_x, st_x, _, _ = ge._build(ncol=ncol, nz=nz, dtype="float32",
+                                    pass_impl="fused_xla")
+    out_p = model_p.step(st_p, prm, frc, first_step=False)
+    out_x = model_x.step(st_x, prm, frc, first_step=False)
+    diffs = {}
+    for name in ("x", "u", "hmix", "difm", "dift"):
+        a = np.asarray(getattr(out_p, name), np.float64)
+        b = np.asarray(getattr(out_x, name), np.float64)
+        scale = max(np.abs(b).max(), 1e-6)
+        diffs[name] = float(np.abs(a - b).max() / scale)
+    print(json.dumps({"parity_pallas_vs_fused_xla_max_rel_diff": diffs}),
+          file=sys.stderr)
+    bad = {k: v for k, v in diffs.items() if v > 2e-4}
+    assert not bad, f"Pallas kernel disagrees with fused-XLA body: {bad}"
+
+
 def main():
     ncol = int(os.environ.get("BENCH_NCOL", "16384"))
     nz = int(os.environ.get("BENCH_NZ", "69"))
@@ -28,6 +54,9 @@ def main():
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __graft_entry__ as ge
+
+    if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
+        parity_check(ge, nz)
 
     model, st, prm, frc = ge._build(ncol=ncol, nz=nz, dtype=dtype)
 

@@ -62,6 +62,7 @@ def main(argv=None):
 
     step_fn = model.step
     unpad = lambda tree: tree
+    l_ocean_np = np.asarray(prm.l_ocean)       # unpadded output-domain mask
     if (args.multi_device or args.distributed) and len(jax.devices()) > 1:
         mesh = shard.make_mesh()
         layout = dist.make_layout(ncol, mesh)
@@ -91,11 +92,13 @@ def main(argv=None):
 
     streams = ([Stream(name, red, freq)
                 for (name, red, freq) in cfg.output.streams]
-               or default_streams(cfg.time.ndtocn))
+               or default_streams(cfg.time.ndtocn,
+                                  split_freq_days=cfg.output.split_freq_days))
     diag = DiagnosticsManager(
         streams, cfg.domain.nx, cfg.domain.ny,
         model.grid.zm, outdir=args.output_dir,
-        start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto)
+        start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto,
+        l_ocean=l_ocean_np)
     restart = RestartControl(
         f"{args.output_dir}/{cfg.output.restart_outfile}",
         cfg.output.ndt_per_restart, cfg.time.num_timesteps,

@@ -221,6 +221,9 @@ class OutputConfig:
     # list of (name, reduction, frequency-in-steps); reduction in
     # {"instant", "average", "minimum", "maximum"}
     streams: Tuple[Tuple[str, str, int], ...] = ()
+    # file-splitting window in days (iodef.xml split_freq="1d" equivalent);
+    # None -> one file per stream
+    split_freq_days: Optional[float] = None
 
 
 @dataclass(frozen=True)

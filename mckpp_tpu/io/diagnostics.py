@@ -79,35 +79,49 @@ def extract_fields(st: State, prm: ColumnParams, frc: Forcing) -> Dict[str, jax.
     return out
 
 
+FILL_VALUE = 1.0e20          # XIOS/netCDF default fill for masked points
+
+
 @dataclasses.dataclass
 class Stream:
     """One output stream: fields x reduction x frequency (an iodef.xml
-    <file> element equivalent)."""
+    <file> element equivalent).  ``split_freq_days`` reproduces XIOS's
+    split_freq (run/iodef.xml:88: daily file splitting): when set, each
+    split window is written to its own ``<name>_<start-day>.nc`` as soon
+    as the window closes, bounding host memory to one window's records."""
     name: str
     reduction: str                    # instant | average | minimum | maximum
     freq: int                         # output every `freq` ocean steps
     fields: Tuple[str, ...] = DEPTH_FIELDS + SURFACE_FIELDS
+    split_freq_days: Optional[float] = None
 
 
 class DiagnosticsManager:
-    """Accumulates reductions on device; flushes NetCDF on each stream's
-    cadence.  One file per stream: ``<outdir>/<name>.nc`` with an unlimited
-    time axis emulated by buffering records and rewriting on flush."""
+    """Accumulates temporal reductions on device; emitted records stream to
+    per-split NetCDF files as each split window closes (the XIOS-equivalent
+    output path: on-device reduction -> host flush on cadence -> daily file
+    split -> land masking via the output-domain mask,
+    mckpp_xios_io.F90:35-210 + run/iodef.xml:88-157)."""
 
     def __init__(self, streams: List[Stream], nx: int, ny: int, zm,
                  outdir: str = ".", start_time_days: float = 0.0,
-                 dto_seconds: float = 0.0):
+                 dto_seconds: float = 0.0, l_ocean=None):
         self.streams = streams
         self.nx, self.ny = nx, ny
         self.zm = np.asarray(zm)
         self.outdir = outdir
         self.start = start_time_days
         self.dto_days = dto_seconds / 86400.0
+        # output-domain land mask (reference mask_1d, mckpp_xios_io.F90:58):
+        # land columns are written as FILL_VALUE
+        self.mask = None if l_ocean is None else ~np.asarray(l_ocean)
         self._accum: Dict[str, Optional[Dict[str, jax.Array]]] = {
             s.name: None for s in streams}
         self._count: Dict[str, int] = {s.name: 0 for s in streams}
         self._records: Dict[str, List[Tuple[float, Dict[str, np.ndarray]]]] = {
             s.name: [] for s in streams}
+        self._split_idx: Dict[str, int] = {s.name: 0 for s in streams}
+        self.paths: Dict[str, str] = {}
 
         @partial(jax.jit, static_argnames=("reduction",))
         def _update(accum, fields, reduction):
@@ -140,52 +154,80 @@ class DiagnosticsManager:
             a = np.asarray(v)
             if s.reduction == "average":
                 a = a / cnt
+            if self.mask is not None:
+                a = a.copy()
+                a[self.mask, ...] = FILL_VALUE
             rec[k] = a
         t = self.start + nt * self.dto_days
+        # close the current split window first if this record starts a new
+        # one (record time stamps the END of its reduction window, so the
+        # window index uses a small backward nudge)
+        if s.split_freq_days:
+            k = int((t - self.start - 1e-9) // s.split_freq_days)
+            if self._records[s.name] and k != self._split_idx[s.name]:
+                self._write_split(s)
+            self._split_idx[s.name] = k
         self._records[s.name].append((t, rec))
         self._accum[s.name] = None
         self._count[s.name] = 0
 
-    def flush(self):
-        """Write each stream's buffered records to NetCDF."""
+    def _write_split(self, s: Stream):
+        """Write (and drop) the stream's buffered records."""
+        recs = self._records[s.name]
+        if not recs:
+            return None
+        times = [t for t, _ in recs]
+        nt = len(recs)
+        nzp1 = len(self.zm)
+        dims = {"time": nt, "z": nzp1, "y": self.ny, "x": self.nx}
+        coords = {"time": ("time", times), "z": ("z", self.zm)}
+        fields = {}
+        for name in recs[0][1]:
+            sample = recs[0][1][name]
+            if sample.ndim == 2:          # (ncol, nzp1)
+                arr = np.stack([r[name] for _, r in recs])
+                arr = arr.reshape(nt, self.ny, self.nx, nzp1)
+                arr = np.moveaxis(arr, -1, 1)
+                fields[name] = (("time", "z", "y", "x"), arr)
+            else:
+                arr = np.stack([r[name] for _, r in recs])
+                fields[name] = (("time", "y", "x"),
+                                arr.reshape(nt, self.ny, self.nx))
+        if s.split_freq_days:
+            split_start = self.start + self._split_idx[s.name] * s.split_freq_days
+            fname = f"{s.name}_{split_start:09.3f}.nc"
+        else:
+            fname = f"{s.name}.nc"
+        path = os.path.join(self.outdir, fname)
         os.makedirs(self.outdir, exist_ok=True)
-        paths = {}
+        ncio.write_fields(path, dims, coords, fields,
+                          attrs={"reduction": s.reduction.encode(),
+                                 "fill_value": FILL_VALUE})
+        self.paths[fname if s.split_freq_days else s.name] = path
+        self._records[s.name] = []
+        return path
+
+    def flush(self):
+        """Write any remaining buffered records; returns all paths
+        written over the run."""
         for s in self.streams:
-            recs = self._records[s.name]
-            if not recs:
-                continue
-            times = [t for t, _ in recs]
-            nt = len(recs)
-            nzp1 = len(self.zm)
-            dims = {"time": nt, "z": nzp1, "y": self.ny, "x": self.nx}
-            coords = {"time": ("time", times), "z": ("z", self.zm)}
-            fields = {}
-            for name in recs[0][1]:
-                sample = recs[0][1][name]
-                if sample.ndim == 2:          # (ncol, nzp1)
-                    arr = np.stack([r[name] for _, r in recs])
-                    arr = arr.reshape(nt, self.ny, self.nx, nzp1)
-                    arr = np.moveaxis(arr, -1, 1)
-                    fields[name] = (("time", "z", "y", "x"), arr)
-                else:
-                    arr = np.stack([r[name] for _, r in recs])
-                    fields[name] = (("time", "y", "x"),
-                                    arr.reshape(nt, self.ny, self.nx))
-            path = os.path.join(self.outdir, f"{s.name}.nc")
-            ncio.write_fields(path, dims, coords, fields,
-                              attrs={"reduction": s.reduction.encode()})
-            paths[s.name] = path
-        return paths
+            self._write_split(s)
+        return self.paths
 
 
-def default_streams(ndtocn: int = 3) -> List[Stream]:
+def default_streams(ndtocn: int = 3, split_freq_days: Optional[float] = None
+                    ) -> List[Stream]:
     """The reference test job's four streams (run/iodef.xml:88-157):
     1h instant, 3h mean, 3h min, 3h max — expressed in ocean steps for
-    dto=1200 s."""
+    dto=1200 s; iodef.xml splits files daily (split_freq="1d")."""
     per_hour = max(1, int(round(3600.0 / 1200.0)))
     return [
-        Stream("kpp_1h_inst", "instant", per_hour),
-        Stream("kpp_3h_mean", "average", 3 * per_hour),
-        Stream("kpp_3h_min", "minimum", 3 * per_hour),
-        Stream("kpp_3h_max", "maximum", 3 * per_hour),
+        Stream("kpp_1h_inst", "instant", per_hour,
+               split_freq_days=split_freq_days),
+        Stream("kpp_3h_mean", "average", 3 * per_hour,
+               split_freq_days=split_freq_days),
+        Stream("kpp_3h_min", "minimum", 3 * per_hour,
+               split_freq_days=split_freq_days),
+        Stream("kpp_3h_max", "maximum", 3 * per_hour,
+               split_freq_days=split_freq_days),
     ]

@@ -54,7 +54,7 @@ import numpy as np
 
 from .. import constants as c
 from .eos import abk80, cpsw
-from .wscale import wscale_nodal
+from .wscale import wscale_nodal, wscale_analytic
 
 _EPS16 = 1.0e-16
 _EPS20 = 1.0e-20
@@ -76,6 +76,12 @@ class PassFlags:
     l_sfcorr_withz: bool = False
     l_relax_sal: bool = False
     l_relax_ocnt: bool = False
+    # "nodal" = the reference's bilinear table interpolation computed
+    # gather-free (bit-matches the resident table); "analytic" = the exact
+    # LMD stability functions the table discretizes — 4x fewer node
+    # evaluations, scientifically equivalent (the table is itself only an
+    # approximation of these formulas), ~1e-3 relative difference in wm/ws
+    wscale: str = "nodal"
 
 
 # colscal row indices (packed per-column scalars)
@@ -202,6 +208,8 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
 
     def cs(k):
         return colscal[:, k:k + 1]
+
+    ws_fn = wscale_analytic if flags.wscale == "analytic" else wscale_nodal
 
     # ---- under-relaxation (ocnstep :122-129) -----------------------------
     u = lam * ux + (1.0 - lam) * u
@@ -330,7 +338,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         bfsfc_l = b0 + b0sol * (1.0 - _shr(swfrac_c, 1))
         stable_l = jnp.where(bfsfc_l + _EPS16 >= 0.0, 1.0, 0.0)
         sigma_l = stable_l + (1.0 - stable_l) * c.EPSILON_KPP
-        _, ws_l = wscale_nodal(sigma_l, -z_kl, ustar, bfsfc_l)
+        _, ws_l = ws_fn(sigma_l, -z_kl, ustar, bfsfc_l)
         dz_up = z_klm1 - z_kl
         dz_dn = z_kl - zm
         bvsq = 0.5 * (_shr(dbloc, 1) / jnp.where(valid, dz_up, 1.0)
@@ -383,7 +391,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         # ---- blmix (blmix_mod :13-151) -----------------------------------
         cg = c.CSTAR * c.VONK * (c.CS * c.VONK * c.EPSILON_KPP) ** (1.0 / 3.0)
         sigma_bl = stable * 1.0 + (1.0 - stable) * c.EPSILON_KPP
-        wm_h, ws_h = wscale_nodal(sigma_bl, hbl, ustar, bfsfc)
+        wm_h, ws_h = ws_fn(sigma_bl, hbl, ustar, bfsfc)
         kn = jnp.where(case_a + _EPS20 >= 1.0, kbl - 1, kbl)
         hm_kn = _ext(hm, kn - 1, li)
         hm_knp1 = _ext(hm, kn, li)
@@ -417,7 +425,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         sig_i = (-_shr(zm, 1) + 0.5 * _shr(hm, 1)) / hbl   # lane j = ki = j
         sigma_i = stable * sig_i + (1.0 - stable) * jnp.minimum(
             sig_i, c.EPSILON_KPP)
-        wm_i, ws_i = wscale_nodal(sigma_i, hbl, ustar, bfsfc)
+        wm_i, ws_i = ws_fn(sigma_i, hbl, ustar, bfsfc)
         blmc_m = jnp.where(imask, hbl * wm_i * sig_i *
                            (1.0 + sig_i * shape(sig_i, gat1m, dat1m)), 0.0)
         blmc_s = jnp.where(imask, hbl * ws_i * sig_i *
@@ -430,7 +438,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         sig_k = -_ext(zm, kbl - 2, li) / hbl
         sigma_k = stable * sig_k + (1.0 - stable) * jnp.minimum(
             sig_k, c.EPSILON_KPP)
-        wm_k, ws_k = wscale_nodal(sigma_k, hbl, ustar, bfsfc)
+        wm_k, ws_k = ws_fn(sigma_k, hbl, ustar, bfsfc)
         dkm1_m = hbl * wm_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1m, dat1m))
         dkm1_s = hbl * ws_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1s, dat1s))
         dkm1_t = hbl * ws_k * sig_k * (1.0 + sig_k * shape(sig_k, gat1t, dat1t))

@@ -39,7 +39,7 @@ def supports_fused(cfg: KppConfig) -> bool:
     """The fused kernel covers every feature combination except steady
     advection corrections (rhsmod) and the resident-table wscale mode."""
     return (not cfg.boundary.l_advect
-            and cfg.physics.wscale_mode == "nodal"
+            and cfg.physics.wscale_mode in ("nodal", "analytic")
             and cfg.physics.solver == "pcr")
 
 
@@ -50,7 +50,7 @@ def pass_flags(cfg: KppConfig) -> fp.PassFlags:
         l_relax_sst=b.l_relax_sst, l_relax_calconly=b.l_relax_calconly,
         l_fcorr=f.l_fcorr, l_fcorr_withz=f.l_fcorr_withz,
         l_sfcorr_withz=f.l_sfcorr_withz, l_relax_sal=b.l_relax_sal,
-        l_relax_ocnt=b.l_relax_ocnt)
+        l_relax_ocnt=b.l_relax_ocnt, wscale=ph.wscale_mode)
 
 
 def _pad(a, wz):
@@ -238,22 +238,28 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                 return jnp.where(mask, a, b)
 
             o = carry
+            # carry slot 13 records the f actually used by the surviving
+            # attempt: the reference multiplies f AFTER the integration
+            # (mckpp_physics_ocnstep_mod.F90:205,224), so the state it keeps
+            # was computed with the PRE-multiplication value — the final
+            # materialization pass below must use that one, not f_n.
             return (m(u, o[0]), m(v, o[1]), m(t, o[2]), m(s, o[3]),
                     m(ux, o[4]), m(vx, o[5]), m(tx, o[6]), m(sx, o[7]),
                     m(comp_n, o[8]), m(reset_n, o[9]), m(f_n, o[10]),
-                    m(hmixn, o[11]), m(kmixn, o[12]))
+                    m(hmixn, o[11]), m(kmixn, o[12]), m(f_local, o[13]))
 
         carry0 = (u_e, v_e, t_e, s_e, u_e, v_e, t_e, s_e,
                   jnp.ones((ncol,), bool), jnp.zeros((ncol,), dtype),
                   prm.f, jnp.zeros((ncol,), dtype),
-                  jnp.full((ncol,), nz, jnp.int32))
+                  jnp.full((ncol,), nz, jnp.int32), prm.f)
         fin = jax.lax.while_loop(outer_cond, outer_body, carry0)
         ux_f, vx_f, tx_f, sx_f = fin[4:8]
-        comp_flag, reset_flag, f_final = fin[8], fin[9], fin[10]
+        comp_flag, reset_flag = fin[8], fin[9]
         hmixn, kmixn = fin[11], fin[12]
+        f_used = fin[13]
 
         # ---- final full pass: last pass + diagnostics ----------------------
-        csc_f = colscal_of(f_final)
+        csc_f = colscal_of(f_used)
         (u_p, v_p, t_p, s_p, colout, difm, difs, dift, ghat, rho, cp,
          talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
          tinc, sinc, ocntcorr, scorr) = run_pass(

@@ -61,6 +61,12 @@ def build_tables(dtype=np.float64):
     return jnp.asarray(wmt), jnp.asarray(wst)
 
 
+def _quartic_root(x):
+    """x**0.25 as two sqrts — much cheaper than the generic pow lowering
+    (exp(0.25*log x)) on the VPU."""
+    return jnp.sqrt(jnp.sqrt(x))
+
+
 def wscale_analytic(sigma, hbl, ustar, bfsfc):
     """Closed-form LMD turbulent velocity scales — the exact stability
     functions the reference's lookup table discretizes
@@ -79,7 +85,7 @@ def wscale_analytic(sigma, hbl, ustar, bfsfc):
     w_stab = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat + 1.0e-30)
     wm_unst = jnp.where(
         zeta > c.ZETAM,
-        c.VONK * ustar * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
+        c.VONK * ustar * _quartic_root(jnp.abs(1.0 - c.C2_WS * zeta)),
         c.VONK * _cbrt(c.AM * ucube - c.CM * zehat))
     ws_unst = jnp.where(
         zeta > c.ZETAS,
@@ -97,7 +103,8 @@ def _node_wmws(zehat_n, usta_n):
     zeta = zehat_n / (usta_n ** 3 + 1.0e-20)
     w_st = c.VONK * usta_n / (1.0 + c.C1_WS * zeta)
     wm_un = jnp.where(zeta > c.ZETAM,
-                      c.VONK * usta_n * jnp.abs(1.0 - c.C2_WS * zeta) ** 0.25,
+                      c.VONK * usta_n
+                      * _quartic_root(jnp.abs(1.0 - c.C2_WS * zeta)),
                       c.VONK * _cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
     ws_un = jnp.where(zeta > c.ZETAS,
                       c.VONK * usta_n * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),

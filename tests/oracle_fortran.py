@@ -1021,6 +1021,7 @@ def ocnstep(fld, cst, ntime):
                 break
         else:
             hmixn, kmixn = hmixe, kmixe
+        fld["niter"] = iter_          # instrumentation (not in the reference)
 
         # computational-instability trap
         fld["comp_flag"] = False

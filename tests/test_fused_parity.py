@@ -47,14 +47,23 @@ def build(pass_impl, forcing_kw=None, boundary_kw=None, physics_kw=None,
     return model, st, prm, frc
 
 
-def run_steps(model, st, prm, frc, n):
+def run_steps(model, st, prm, frc, n, raw_fn=None):
     for nt in range(1, n + 1):
-        raw = forcing_mod.constant_test_fluxes(NCOL)
+        raw = (raw_fn(nt) if raw_fn is not None
+               else forcing_mod.constant_test_fluxes(NCOL))
         st, frc = forcing_mod.update_fluxes(model.cfg, st, prm, frc, raw,
                                             jnp.asarray(nt <= 1),
                                             model.grid.dm)
         st = model.step(st, prm, frc, first_step=(nt <= 1))
     return st
+
+
+# typical magnitude of fields whose values sit far below O(1): the absolute
+# tolerance is rtol * scale so near-zero entries can't hide drift behind a
+# loose relative test (rho ~1e3 vs diffusivities ~1e-5 span 8 decades)
+FIELD_SCALE = {"difm": 1e-2, "difs": 1e-2, "dift": 1e-2, "ghat": 1e2,
+               "wu": 1e-3, "wx": 1e-3, "wxnt": 1e-3, "tinc_fcorr": 1e-2,
+               "sinc_fcorr": 1e-3, "scorr": 1e-6}
 
 
 def assert_states_close(sa, sb, rtol, atol=1e-12):
@@ -63,8 +72,9 @@ def assert_states_close(sa, sb, rtol, atol=1e-12):
                  "tinc_fcorr", "sinc_fcorr", "scorr", "fcorr", "ssurf",
                  "reset_flag", "dampu_flag", "dampv_flag"):
         a, b = np.asarray(getattr(sa, name)), np.asarray(getattr(sb, name))
+        atol_f = max(atol, rtol * FIELD_SCALE.get(name, 0.0))
         np.testing.assert_allclose(
-            a, b, rtol=rtol, atol=atol, err_msg=f"field {name}")
+            a, b, rtol=rtol, atol=atol_f, err_msg=f"field {name}")
     np.testing.assert_array_equal(np.asarray(sa.kmix), np.asarray(sb.kmix))
     np.testing.assert_array_equal(np.asarray(sa.old), np.asarray(sb.old))
     np.testing.assert_array_equal(np.asarray(sa.new), np.asarray(sb.new))
@@ -112,6 +122,41 @@ def test_fused_matches_reference_trajectory(case):
     assert_states_close(out_f, out_r, rtol=1e-9)
 
 
+def test_fused_instability_trap_and_damping_parity():
+    """Non-vacuous coverage of the instability trap, reset-999 and current
+    damping (mckpp_physics_ocnstep_mod.F90:194-236, 317-340): hurricane-force
+    wind stress on column 0 blows the depth-weighted RMSD check, so the trap
+    retries with f*=1.01 and ultimately resets the column (reset_flag=999,
+    preserved because L_NO_ISOTHERM keeps check_profile from zeroing it,
+    mckpp_physics_overrides.F90:121-123).  The fused path must reproduce the
+    per-column path through all of it, and the flags must actually fire."""
+    kw = dict(
+        forcing_kw={"l_damp_curr": True, "dtuvdamp": 360,
+                    "l_no_isotherm": True, "isotherm_bottom": 4,
+                    "isotherm_threshold": 1e-12,
+                    "ocnt_file": "clim.nc", "sal_file": "clim.nc"})
+    model_r, st_r, prm_r, frc_r = build("reference", **kw)
+    model_f, st_f, prm_f, frc_f = build("fused_xla", **kw)
+
+    def violent(nt):
+        raw = forcing_mod.constant_test_fluxes(NCOL)
+        taux = jnp.asarray([400.0] + [0.01] * (NCOL - 1))
+        return raw._replace(taux=taux)
+
+    out_r = run_steps(model_r, st_r, prm_r, frc_r, n=3, raw_fn=violent)
+    out_f = run_steps(model_f, st_f, prm_f, frc_f, n=3, raw_fn=violent)
+
+    # the trap genuinely fired and the reset survived to the diagnostics:
+    # +-999 (the isotherm detector also fires after the reset zeroes T to
+    # the climatology, flipping the sign — mckpp_physics_overrides.F90:116-119)
+    assert abs(float(out_r.reset_flag[0])) == 999.0, \
+        "instability trap did not fire — vacuous parity case"
+    assert np.all(np.abs(np.asarray(out_r.reset_flag[1:])) != 999.0)
+    # damping flags are nonzero fractions
+    assert float(out_r.dampu_flag[1]) > 0.0
+    assert_states_close(out_f, out_r, rtol=1e-9)
+
+
 def test_pallas_interpret_matches_fused_xla():
     """The identical kernel body under the Pallas interpreter (what runs on
     TPU, minus Mosaic codegen) must match the traced XLA path."""
@@ -131,3 +176,18 @@ def test_fused_handles_land_mask():
     out = run_steps(model, st, prm, frc, n=2)
     np.testing.assert_array_equal(np.asarray(out.x[1]), np.asarray(st.x[1]))
     assert not np.allclose(np.asarray(out.x[0]), np.asarray(st.x[0]))
+
+
+def test_analytic_wscale_close_to_nodal():
+    """wscale_mode='analytic' (exact LMD stability functions, the fast
+    production option) must track the reference's table interpolation to
+    within the table's own discretization error over a short trajectory."""
+    model_n, st_n, prm_n, frc_n = build("fused_xla")
+    model_a, st_a, prm_a, frc_a = build(
+        "fused_xla", physics_kw={"wscale_mode": "analytic"})
+    out_n = run_steps(model_n, st_n, prm_n, frc_n, n=4)
+    out_a = run_steps(model_a, st_a, prm_a, frc_a, n=4)
+    np.testing.assert_allclose(np.asarray(out_a.x), np.asarray(out_n.x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a.hmix), np.asarray(out_n.hmix),
+                               rtol=5e-3, atol=1e-3)

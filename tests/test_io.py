@@ -180,3 +180,39 @@ def test_reference_restart_import_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(getattr(st_nat, name)),
                                    np.asarray(getattr(st_imp, name)),
                                    rtol=1e-12, atol=1e-14, err_msg=name)
+
+
+def test_diagnostics_daily_split_masking_bounded_memory(tmp_path):
+    """XIOS output semantics (run/iodef.xml:88: split_freq='1d';
+    mckpp_xios_io.F90:58: land masked via mask_1d): records stream to one
+    file per split window as the window closes, land columns are written
+    as the fill value, and the host buffer never holds more than one
+    window's records."""
+    model, st, prm, frc = _build(ncol=4, nz=10)
+    l_ocean = np.array([False, True, True, True])
+    streams = [diag.Stream("spl", "instant", 1, fields=("T", "hmix"),
+                           split_freq_days=1.0)]
+    dm = diag.DiagnosticsManager(streams, nx=4, ny=1, zm=model.grid.zm,
+                                 outdir=str(tmp_path),
+                                 dto_seconds=0.25 * 86400.0,
+                                 l_ocean=l_ocean)
+    max_buffered = 0
+    for nt in range(1, 9):                    # 8 records, 0.25 d apart
+        dm.step(nt, st, prm, frc)
+        max_buffered = max(max_buffered, len(dm._records["spl"]))
+    paths = dm.flush()
+    # one window = 4 records; buffer never exceeded one window
+    assert max_buffered <= 4
+    files = sorted(tmp_path.glob("spl_*.nc"))
+    assert len(files) == 2, files
+    with ncio.open_nc(str(files[0])) as nc:
+        t = ncio.get_var(nc, "T")
+        times = ncio.get_var(nc, "time")
+    assert t.shape[0] == 4
+    np.testing.assert_allclose(times, [0.25, 0.5, 0.75, 1.0])
+    # land column masked with the fill value, sea columns are real data
+    assert np.all(t[:, :, 0, 0] == diag.FILL_VALUE)
+    assert np.all(np.abs(t[:, :, 0, 1:]) < 1e3)
+    with ncio.open_nc(str(files[1])) as nc:
+        times2 = ncio.get_var(nc, "time")
+    np.testing.assert_allclose(times2, [1.25, 1.5, 1.75, 2.0])
