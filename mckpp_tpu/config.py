@@ -101,7 +101,13 @@ class PhysicsFlags:
                                       # for unsupported features;
                                       # "reference" | "fused_xla" |
                                       # "pallas" | "pallas_interpret"
-    pass_block: int = 128             # Pallas column-tile (sublane) size
+    pass_block: int = 128             # Pallas column-tile size
+    pass_layout: str = "col_lanes"    # fused-kernel data layout:
+                                      # "col_lanes" (columns on the 128
+                                      # vector lanes, z on sublanes — full
+                                      # lane utilization at any nz) or
+                                      # "z_lanes" (z on lanes; wastes
+                                      # 1-(nz+2)/128 of the VPU)
 
 
 @dataclass(frozen=True)

@@ -11,15 +11,23 @@ The unfused XLA path materializes ~50 (ncol, nz) intermediates in HBM per
 pass; fusing the pass into one kernel keeps everything in VMEM and is HBM-
 bound only on the true input/output state (~15 arrays).
 
-Layout: **columns on sublanes, z on lanes** — arrays stay in their native
-``(ncol, nz+2)`` shape (no transposes anywhere).  All vertical operations are
-lane-axis ops:
+Layout (static ``zaxis``; see PhysicsFlags.pass_layout):
 
-* level shifts   -> static lane shifts (concatenate of a zero slice);
+* ``zaxis=0`` (**default, "col_lanes"**): profiles are ``(WZ, ncol)`` —
+  columns on the 128 vector lanes (always fully occupied), z on sublanes.
+  Measured 2.6x faster than zaxis=1 at nz=69 (BASELINE.md roofline): with z
+  on lanes the vector registers are only wz/128 occupied.  The state stays
+  ``(ncol, ...)`` outside the kernel; transposes happen once per step.
+* ``zaxis=1`` ("z_lanes"): profiles ``(ncol, WZ)``, z on lanes — kept for
+  comparison and as the layout reference.
+
+All vertical operations are z-axis ops in either layout:
+
+* level shifts   -> static shifts (concatenate of a zero slice);
 * prefix scans   -> log-depth shift-and-combine (bldepth's Rib recurrence);
-* tridiag solve  -> parallel cyclic reduction (log-depth lane shifts);
+* tridiag solve  -> parallel cyclic reduction (log-depth shifts);
 * per-column level gathers (e.g. diffusivities at ``kbl``) -> one-hot
-  masked lane reductions;
+  masked z reductions;
 * the reference-profile trapezoid average (verticalmixing_mod.F90:110-137)
   is **linear in the profile**, so it is a single precomputed
   ``(nz+2, nz+2)`` matrix applied on the MXU.
@@ -93,20 +101,26 @@ CS_RELAX_SST, CS_SST0, CS_FCORR2D, CS_RELAX_OCNT, CS_RELAX_SAL, CS_FCORRP = \
 NSC = 24  # padded row count
 
 
-def _shr(v, s, fill=0.0):
-    """Lane shift right: out[:, j] = v[:, j-s] (fill for j < s)."""
+def _shr(v, s, fill=0.0, axis=1):
+    """z-axis shift right: out[j] = v[j-s] (fill for j < s)."""
     if s == 0:
         return v
-    z = jnp.full_like(v[:, :s], fill)
-    return jnp.concatenate([z, v[:, :-s]], axis=1)
+    if axis == 1:
+        z = jnp.full_like(v[:, :s], fill)
+        return jnp.concatenate([z, v[:, :-s]], axis=1)
+    z = jnp.full_like(v[:s], fill)
+    return jnp.concatenate([z, v[:-s]], axis=0)
 
 
-def _shl(v, s, fill=0.0):
-    """Lane shift left: out[:, j] = v[:, j+s] (fill for j >= WZ-s)."""
+def _shl(v, s, fill=0.0, axis=1):
+    """z-axis shift left: out[j] = v[j+s] (fill for j >= WZ-s)."""
     if s == 0:
         return v
-    z = jnp.full_like(v[:, :s], fill)
-    return jnp.concatenate([v[:, s:], z], axis=1)
+    if axis == 1:
+        z = jnp.full_like(v[:, :s], fill)
+        return jnp.concatenate([v[:, s:], z], axis=1)
+    z = jnp.full_like(v[:s], fill)
+    return jnp.concatenate([v[s:], z], axis=0)
 
 
 def build_ref_matrix(zm: np.ndarray, wz: int) -> np.ndarray:
@@ -140,38 +154,42 @@ def build_ref_matrix(zm: np.ndarray, wz: int) -> np.ndarray:
     return A
 
 
-def _ext(v, idx, li):
-    """Per-column lane gather: out[b] = v[b, idx[b]] as a (B, 1) array."""
-    return jnp.sum(jnp.where(li == idx, v, 0.0), axis=1, keepdims=True)
+def _ext(v, idx, li, za=1):
+    """Per-column z-gather: out[b] = v[b, idx[b]] (za=1) or v[idx[b], b]
+    (za=0), shaped with a singleton z axis."""
+    return jnp.sum(jnp.where(li == idx, v, 0.0), axis=za, keepdims=True)
 
 
-def _pcr_solve(cu, cc, cl, rhs, nz, row):
+def _pcr_solve(cu, cc, cl, rhs, nz, row, za=1):
     """Parallel cyclic reduction of the batch of tridiagonal systems
     (same elimination order as ops/tridiag.tridmat_pcr, so results are
-    bitwise-comparable).  Row arrays on lanes 0..nz-1; padding lanes are
-    (a=0, b=1, c=0, r=0) no-op rows."""
+    bitwise-comparable).  Row arrays on z lanes/sublanes 0..nz-1; padding
+    rows are (a=0, b=1, c=0, r=0) no-op rows."""
+    shr = partial(_shr, axis=za)
+    shl = partial(_shl, axis=za)
     a = jnp.where(row < nz, cu, 0.0)
     b = jnp.where(row < nz, cc, 1.0)
     c_ = jnp.where(row < nz, cl, 0.0)
     r = jnp.where(row < nz, rhs, 0.0)
     s = 1
     while s < nz:
-        ub, db = _shr(b, s), _shl(b, s)
+        ub, db = shr(b, s), shl(b, s)
         alpha = -a / jnp.where(ub == 0.0, 1.0, ub)
         beta = -c_ / jnp.where(db == 0.0, 1.0, db)
-        b = b + alpha * _shr(c_, s) + beta * _shl(a, s)
-        r = r + alpha * _shr(r, s) + beta * _shl(r, s)
-        a = alpha * _shr(a, s)
-        c_ = beta * _shl(c_, s)
+        b = b + alpha * shr(c_, s) + beta * shl(a, s)
+        r = r + alpha * shr(r, s) + beta * shl(r, s)
+        a = alpha * shr(a, s)
+        c_ = beta * shl(c_, s)
         s *= 2
     return r / b
 
 
-def _tridcof(diff, tdn, tup, nz, row):
-    """Matrix coefficients on row lanes (reference solvers.F90:14-44)."""
-    diff1 = _shl(diff, 1)               # diff[i] at row lane i-1
-    tdn1 = _shl(tdn, 1)
-    tup1 = _shl(tup, 1)
+def _tridcof(diff, tdn, tup, nz, row, za=1):
+    """Matrix coefficients on z rows (reference solvers.F90:14-44)."""
+    shl = partial(_shl, axis=za)
+    diff1 = shl(diff, 1)                # diff[i] at row lane i-1
+    tdn1 = shl(tdn, 1)
+    tup1 = shl(tup, 1)
     cu = jnp.where(row == 0, 0.0, -tup1 * diff)
     cc = 1.0 + tdn1 * diff1 + jnp.where(row == 0, 0.0, tup1 * diff)
     cl = jnp.where(row == nz - 1, 0.0, -tdn1 * diff1)
@@ -179,35 +197,55 @@ def _tridcof(diff, tdn, tup, nz, row):
 
 
 def _tridrhs(hm, yo, ntflux, diff, ghat, sturflux, ghatflux, dto, tdn,
-             nz, row):
-    """Scalar RHS on row lanes (reference solvers.F90:53-107).  ghat/diff
+             nz, row, za=1):
+    """Scalar RHS on z rows (reference solvers.F90:53-107).  ghat/diff
     lane 0 are zero by construction, so the surface row needs only the
     explicit -sturflux term."""
-    ghterm = ghatflux * (_shl(diff, 1) * _shl(ghat, 1) - diff * ghat)
-    ntterm = _shl(ntflux, 1) - ntflux
+    shl = partial(_shl, axis=za)
+    zs = (lambda v, a, b: v[:, a:b]) if za == 1 else (lambda v, a, b: v[a:b])
+    ghterm = ghatflux * (shl(diff, 1) * shl(ghat, 1) - diff * ghat)
+    ntterm = shl(ntflux, 1) - ntflux
     rhs = yo + dto / hm * (ghterm + ntterm)
     rhs = rhs + jnp.where(row == 0, -dto / hm * sturflux, 0.0)
-    bot = yo[:, nz:nz + 1] * tdn[:, nz:nz + 1] * diff[:, nz:nz + 1]
+    bot = zs(yo, nz, nz + 1) * zs(tdn, nz, nz + 1) * zs(diff, nz, nz + 1)
     return rhs + jnp.where(row == nz - 1, bot, 0.0)
 
 
 def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
                swdk_c, swfrac_c, ocnt_clim, sal_clim, fcorr_z, sfcorr_z,
                colscal, zm, hm, dm, tdn, tup, aref,
-               *, nz, flags: PassFlags, dto, full):
-    """One fused pass over a (B, WZ) column block.  Returns a tuple:
+               *, nz, flags: PassFlags, dto, full, zaxis=1, zbot=None):
+    """One fused pass over a column block.  Layouts (static ``zaxis``):
+
+    * ``zaxis=1``: profiles are ``(B, WZ)`` — z on lanes, columns on
+      sublanes (the original layout; 55% lane utilization at nz=69);
+    * ``zaxis=0``: profiles are ``(WZ, B)`` — columns on lanes (always a
+      full 128-lane vector), z on sublanes.  ``colscal`` is ``(NSC, B)``,
+      grid rows are ``(WZ, 1)`` and ``aref`` is pre-transposed.
+
+    Returns a tuple:
     fast: (u', v', t', s', ux', vx', tx', sx', colout8)
     full: (u', v', t', s', colout16, difm, difs, dift, ghat, rho, cp,
            talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
            tinc, sinc, ocntcorr, scorr)
     """
-    wz = u.shape[1]
+    za = zaxis
+    wz = u.shape[za]
     dtype = u.dtype
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
+    shape_li = (1, wz) if za == 1 else (wz, 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, shape_li, za)
     lam = c.LAMBDA_SMOOTH
-
-    def cs(k):
-        return colscal[:, k:k + 1]
+    shr = partial(_shr, axis=za)
+    shl = partial(_shl, axis=za)
+    zs = (lambda v, a, b: v[:, a:b]) if za == 1 else (lambda v, a, b: v[a:b])
+    hp = jax.lax.Precision.HIGHEST
+    if za == 1:
+        refdot = lambda prof: jnp.dot(prof, aref, precision=hp)
+        cs = lambda k: colscal[:, k:k + 1]
+    else:
+        refdot = lambda prof: jnp.dot(aref, prof, precision=hp)
+        cs = lambda k: colscal[k:k + 1, :]
+    ext = partial(_ext, za=za)
 
     ws_fn = wscale_analytic if flags.wscale == "analytic" else wscale_nodal
 
@@ -220,18 +258,19 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     # ---- EOS on every level (verticalmixing :59-73) ----------------------
     sref = cs(CS_SREF)
     s_abs = s + sref
-    pr = -zm                              # dbar, (1, WZ) broadcast
+    pr = -zm                              # dbar, grid-row broadcast
     alpha, beta, _, sig0, _ = abk80(s_abs, t, pr)
     rho = 1000.0 + sig0
     cp = cpsw(s_abs, t, pr)
     buoy = -c.GRAV * sig0 / 1000.0
-    rho0, cp0 = rho[:, :1], cp[:, :1]
-    ta0, sb0 = alpha[:, :1], beta[:, :1]
+    rho0, cp0 = zs(rho, 0, 1), zs(cp, 0, 1)
+    ta0, sb0 = zs(alpha, 0, 1), zs(beta, 0, 1)
     # fresh-water / brine surface densities (verticalmixing :44-50)
-    _, _, _, s0t, _ = abk80(jnp.zeros_like(t[:, :1]), t[:, :1], -zm[:, :1])
+    t_sfc = zs(t, 0, 1)
+    zm_sfc = zs(zm, 0, 1)
+    _, _, _, s0t, _ = abk80(jnp.zeros_like(t_sfc), t_sfc, -zm_sfc)
     rhoh2o = 1000.0 + s0t
-    _, _, _, s0b, _ = abk80(jnp.full_like(t[:, :1], c.SICE), t[:, :1],
-                            -zm[:, :1])
+    _, _, _, s0b, _ = abk80(jnp.full_like(t_sfc, c.SICE), t_sfc, -zm_sfc)
     rhob = 1000.0 + s0b
 
     # ---- solar decay cache + non-turbulent flux (fluxes :93-137) ---------
@@ -258,31 +297,30 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     if flags.ldd:
         int_mask = (li >= 1) & (li <= nz)
         adt = jnp.where(int_mask,
-                        0.5 * (_shr(alpha, 1) + alpha) * (_shr(t, 1) - t), 0.0)
+                        0.5 * (shr(alpha, 1) + alpha) * (shr(t, 1) - t), 0.0)
         bds = jnp.where(int_mask,
-                        0.5 * (_shr(beta, 1) + beta) * (_shr(s, 1) - s), 0.0)
+                        0.5 * (shr(beta, 1) + beta) * (shr(s, 1) - s), 0.0)
 
     # ---- reference profiles & bulk-Richardson inputs (:110-137) ----------
-    hp = jax.lax.Precision.HIGHEST
-    uref = jnp.dot(u, aref, precision=hp)
-    vref = jnp.dot(v, aref, precision=hp)
-    bref = jnp.dot(buoy, aref, precision=hp)
+    uref = refdot(u)
+    vref = refdot(v)
+    bref = refdot(buoy)
     zref = c.EPSILON_KPP * zm
     ritop = (zref - zm) * (bref - buoy)            # level lanes 0..nz-1
     imask = (li >= 1) & (li <= nz)
-    dbloc = jnp.where(imask, _shr(buoy, 1) - buoy, 0.0)
-    shsq = jnp.where(imask, (_shr(u, 1) - u) ** 2 + (_shr(v, 1) - v) ** 2, 0.0)
+    dbloc = jnp.where(imask, shr(buoy, 1) - buoy, 0.0)
+    shsq = jnp.where(imask, (shr(u, 1) - u) ** 2 + (shr(v, 1) - v) ** 2, 0.0)
     dvsq = (uref - u) ** 2 + (vref - v) ** 2       # level lanes 0..nz-1
 
     # ---- rimix + z121 (rimix_mod, z121_mod) ------------------------------
     if flags.lri:
-        dz_int = _shr(zm, 1) - zm
+        dz_int = shr(zm, 1) - zm
         rig = jnp.where(imask, dbloc * dz_int / (shsq + _EPS16), 0.0)
         w = jnp.where((rig < 0.0) | (rig > c.RIINFTY), 0.0, 1.0)
         w = jnp.where(imask, w, 0.0)
         vz = jnp.where(imask, rig, 0.0)
-        num = _shr(w * vz, 1) + 2.0 * vz + _shl(w * vz, 1)
-        den = _shr(w, 1) + 2.0 + _shl(w, 1)
+        num = shr(w * vz, 1) + 2.0 * vz + shl(w * vz, 1)
+        den = shr(w, 1) + 2.0 + shl(w, 1)
         smooth = jnp.where(imask, num / den, 0.0)
         rigg = jnp.maximum(rig, c.RICON)
         ratio = jnp.minimum((c.RICON - rigg) / c.RICON, 1.0)
@@ -320,9 +358,9 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         difs = difs + jnp.where(conv, prandtl * diff_c, 0.0)
 
     # fill the bottom kmp1 coefficient for blmix matching (kppmix :58-62)
-    difm = jnp.where(li == nz + 1, _shr(difm, 1), difm)
-    difs = jnp.where(li == nz + 1, _shr(difs, 1), difs)
-    dift = jnp.where(li == nz + 1, _shr(dift, 1), dift)
+    difm = jnp.where(li == nz + 1, shr(difm, 1), difm)
+    difs = jnp.where(li == nz + 1, shr(difs, 1), difs)
+    dift = jnp.where(li == nz + 1, shr(dift, 1), dift)
 
     if flags.lkpp:
         # ---- bldepth (bldepth_mod :32-203); lane j = Fortran kl ----------
@@ -331,35 +369,39 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         f_cor = cs(CS_F)
         ocdepth = cs(CS_OCDEPTH)
         hek = c.CEKMAN * ustar / (jnp.abs(f_cor) + _EPS16)
-        zbot = zm[:, nz:nz + 1]
-        z_kl = _shr(zm, 1)                   # zm(kl)
-        z_klm1 = _shr(zm, 2)                 # zm(kl-1)
+        # zbot is a static grid constant (Fortran zm(nzp1) = -dmax): keep it
+        # a Python float — a (1, 1) array operand would need a
+        # both-axes broadcast, which Mosaic does not implement
+        if zbot is None:
+            zbot = zs(zm, nz, nz + 1)
+        z_kl = shr(zm, 1)                    # zm(kl)
+        z_klm1 = shr(zm, 2)                  # zm(kl-1)
         valid = (li >= 2) & (li <= nz)
-        bfsfc_l = b0 + b0sol * (1.0 - _shr(swfrac_c, 1))
+        bfsfc_l = b0 + b0sol * (1.0 - shr(swfrac_c, 1))
         stable_l = jnp.where(bfsfc_l + _EPS16 >= 0.0, 1.0, 0.0)
         sigma_l = stable_l + (1.0 - stable_l) * c.EPSILON_KPP
         _, ws_l = ws_fn(sigma_l, -z_kl, ustar, bfsfc_l)
         dz_up = z_klm1 - z_kl
         dz_dn = z_kl - zm
-        bvsq = 0.5 * (_shr(dbloc, 1) / jnp.where(valid, dz_up, 1.0)
+        bvsq = 0.5 * (shr(dbloc, 1) / jnp.where(valid, dz_up, 1.0)
                       + dbloc / jnp.where(valid, dz_dn, 1.0))
         vtsq = -z_kl * ws_l * jnp.sqrt(jnp.abs(bvsq)) * vtc
         dmo_raw = c.CMONOB * ustar ** 3 / c.VONK / (jnp.abs(bfsfc_l) + _EPS16)
         dmo_l = stable_l * dmo_raw - (1.0 - stable_l) * zbot
         hekman_l = stable_l * hek - (1.0 - stable_l) * zbot
-        raw = _shr(ritop, 1) / (_shr(dvsq, 1) + vtsq + _EPS16)
+        raw = shr(ritop, 1) / (shr(dvsq, 1) + vtsq + _EPS16)
         # log-depth scan of Rib(k) = max(raw_k, Rib(k-1) + eps) (:136-137)
         m_acc = jnp.where(valid, raw, -_BIG)
         c_acc = jnp.where(valid, _EPS16, 0.0)
         step = 1
         while step < wz:
-            m_s = _shr(m_acc, step, fill=-_BIG)
-            c_s = _shr(c_acc, step, fill=0.0)
+            m_s = shr(m_acc, step, fill=-_BIG)
+            c_s = shr(c_acc, step, fill=0.0)
             m_acc, c_acc = jnp.maximum(m_acc, m_s + c_acc), c_s + c_acc
             step *= 2
         rib = jnp.maximum(m_acc, c_acc)
-        rib_prev = _shr(rib, 1)
-        dmo_prev = jnp.where(li == 2, -zbot, _shr(dmo_l, 1))
+        rib_prev = shr(rib, 1)
+        dmo_prev = jnp.where(li == 2, -zbot, shr(dmo_l, 1))
         hri = -z_klm1 + (z_klm1 - z_kl) * (c.RICR - rib_prev) / \
             jnp.where(valid, rib - rib_prev, 1.0)
         slope = (dmo_l - dmo_prev) / jnp.where(valid, z_klm1 - z_kl, 1.0)
@@ -373,10 +415,11 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         hmin = jnp.where(use_fix, hmin2, hmin)
         crossing = valid & (hmin < -z_kl)
         bigi = jnp.asarray(wz + 100, jnp.int32)
-        firstx = jnp.min(jnp.where(crossing, li, bigi), axis=1, keepdims=True)
+        firstx = jnp.min(jnp.where(crossing, li, bigi), axis=za,
+                         keepdims=True)
         found = firstx < bigi
         kbl = jnp.where(found, firstx, nz).astype(jnp.int32)
-        hbl = jnp.where(found, _ext(hmin, firstx, li), -zm[:, nz - 1:nz])
+        hbl = jnp.where(found, ext(hmin, firstx, li), -zs(zm, nz - 1, nz))
         # final surface forcing at hbl (:187-201)
         swdk_hbl = (rfac * jnp.exp(jnp.maximum(-hbl / a1j, c.SWFRAC_RMIN))
                     + (1.0 - rfac) * jnp.exp(jnp.maximum(-hbl / a2j,
@@ -384,8 +427,8 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         bfsfc = b0 + b0sol * (1.0 - swdk_hbl)
         stable = jnp.where(bfsfc >= 0.0, 1.0, 0.0)
         bfsfc = bfsfc + stable * _EPS16
-        zm_kbl = _ext(zm, kbl - 1, li)
-        hm_kbl = _ext(hm, kbl - 1, li)
+        zm_kbl = ext(zm, kbl - 1, li)
+        hm_kbl = ext(hm, kbl - 1, li)
         case_a = jnp.where(-zm_kbl - 0.5 * hm_kbl - hbl >= 0.0, 1.0, 0.0)
 
         # ---- blmix (blmix_mod :13-151) -----------------------------------
@@ -393,15 +436,15 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         sigma_bl = stable * 1.0 + (1.0 - stable) * c.EPSILON_KPP
         wm_h, ws_h = ws_fn(sigma_bl, hbl, ustar, bfsfc)
         kn = jnp.where(case_a + _EPS20 >= 1.0, kbl - 1, kbl)
-        hm_kn = _ext(hm, kn - 1, li)
-        hm_knp1 = _ext(hm, kn, li)
-        delhat = 0.5 * hm_kn - _ext(zm, kn - 1, li) - hbl
+        hm_kn = ext(hm, kn - 1, li)
+        hm_knp1 = ext(hm, kn, li)
+        delhat = 0.5 * hm_kn - ext(zm, kn - 1, li) - hbl
         r_frac = 1.0 - delhat / hm_kn
 
         def match(dif):
-            d_m1 = _ext(dif, kn - 1, li)
-            d_0 = _ext(dif, kn, li)
-            d_p1 = _ext(dif, kn + 1, li)
+            d_m1 = ext(dif, kn - 1, li)
+            d_0 = ext(dif, kn, li)
+            d_p1 = ext(dif, kn + 1, li)
             dvdzup = (d_m1 - d_0) / hm_kn
             dvdzdn = (d_0 - d_p1) / hm_knp1
             dp = 0.5 * ((1.0 - r_frac) * (dvdzup + jnp.abs(dvdzup))
@@ -422,7 +465,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         def shape(sig, gat1, dat1):
             return (sig - 2.0) + (3.0 - 2.0 * sig) * gat1 + (sig - 1.0) * dat1
 
-        sig_i = (-_shr(zm, 1) + 0.5 * _shr(hm, 1)) / hbl   # lane j = ki = j
+        sig_i = (-shr(zm, 1) + 0.5 * shr(hm, 1)) / hbl     # lane j = ki = j
         sigma_i = stable * sig_i + (1.0 - stable) * jnp.minimum(
             sig_i, c.EPSILON_KPP)
         wm_i, ws_i = ws_fn(sigma_i, hbl, ustar, bfsfc)
@@ -435,7 +478,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         ghat = jnp.where(imask,
                          (1.0 - stable) * cg / (ws_i * hbl + _EPS20), 0.0)
         # diffusivities at grid level kbl-1 (blmix :86-95)
-        sig_k = -_ext(zm, kbl - 2, li) / hbl
+        sig_k = -ext(zm, kbl - 2, li) / hbl
         sigma_k = stable * sig_k + (1.0 - stable) * jnp.minimum(
             sig_k, c.EPSILON_KPP)
         wm_k, ws_k = ws_fn(sigma_k, hbl, ustar, bfsfc)
@@ -445,14 +488,14 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
 
         # ---- enhance at interface kbl-1 (enhance_mod :10-51) -------------
         ki_e = kbl - 1
-        zm_em1 = _ext(zm, ki_e - 1, li)
-        zm_e = _ext(zm, ki_e, li)
+        zm_em1 = ext(zm, ki_e - 1, li)
+        zm_e = ext(zm, ki_e, li)
         delta = (hbl + zm_em1) / (zm_em1 - zm_e)
         sel = (ki_e >= 1) & (ki_e <= nz - 1) & (li == ki_e)
 
         def enh(dif, blmc_x, dkm1_x):
-            dif_e = _ext(dif, ki_e, li)
-            dkmp5 = case_a * dif_e + (1.0 - case_a) * _ext(blmc_x, ki_e, li)
+            dif_e = ext(dif, ki_e, li)
+            dkmp5 = case_a * dif_e + (1.0 - case_a) * ext(blmc_x, ki_e, li)
             dstar = (1.0 - delta) ** 2 * dkm1_x + delta ** 2 * dkmp5
             return (1.0 - delta) * dif_e + delta * dstar
 
@@ -468,7 +511,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         dift = jnp.where(inside, blmc_t, dift)
         ghat = jnp.where((li >= kbl) & (li <= nz), 0.0, ghat)
     else:
-        hbl = -zm[:, nz - 1:nz] * jnp.ones_like(rho0)
+        hbl = -zs(zm, nz - 1, nz) * jnp.ones_like(rho0)
         kbl = jnp.full_like(rho0, nz).astype(jnp.int32)
         ghat = jnp.zeros_like(u)
 
@@ -483,41 +526,43 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     row = li                               # row lane r = Fortran row r+1
     dto_f = dto
     f_cor = cs(CS_F)
+    hm_sfc = zs(hm, 0, 1)
     # U / V with semi-implicit Coriolis (:44-72)
-    cu_m, cc_m, cl_m = _tridcof(difm, tdn, tup, nz, row)
+    cu_m, cc_m, cl_m = _tridcof(difm, tdn, tup, nz, row, za)
     rhs_u = uo + dto_f * f_cor * 0.5 * (vo + v)
-    rhs_u = rhs_u + jnp.where(row == 0, -dto_f * wu0x / hm[:, :1], 0.0)
-    difm_nz = difm[:, nz:nz + 1]
-    tdn_nz = tdn[:, nz:nz + 1]
+    rhs_u = rhs_u + jnp.where(row == 0, -dto_f * wu0x / hm_sfc, 0.0)
+    difm_nz = zs(difm, nz, nz + 1)
+    tdn_nz = zs(tdn, nz, nz + 1)
     rhs_u = rhs_u + jnp.where(row == nz - 1,
-                              tdn_nz * difm_nz * uo[:, nz:nz + 1], 0.0)
-    u_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_u, nz, row)
+                              tdn_nz * difm_nz * zs(uo, nz, nz + 1), 0.0)
+    u_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_u, nz, row, za)
     rhs_v = vo - dto_f * f_cor * 0.5 * (uo + u_sol)
-    rhs_v = rhs_v + jnp.where(row == 0, -dto_f * wu0y / hm[:, :1], 0.0)
+    rhs_v = rhs_v + jnp.where(row == 0, -dto_f * wu0y / hm_sfc, 0.0)
     rhs_v = rhs_v + jnp.where(row == nz - 1,
-                              tdn_nz * difm_nz * vo[:, nz:nz + 1], 0.0)
-    v_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_v, nz, row)
+                              tdn_nz * difm_nz * zs(vo, nz, nz + 1), 0.0)
+    v_sol = _pcr_solve(cu_m, cc_m, cl_m, rhs_v, nz, row, za)
 
     # temperature (:82-162)
     kmixe = kbl
-    cu_t, cc_t, cl_t = _tridcof(dift, tdn, tup, nz, row)
+    cu_t, cc_t, cl_t = _tridcof(dift, tdn, tup, nz, row, za)
     rhs_t = _tridrhs(hm, to, wxnt_t, dift, ghat, wx0t, wx0t, dto_f, tdn,
-                     nz, row)
+                     nz, row, za)
     fcorr = cs(CS_FCORRP)
     if flags.l_relax_sst and not flags.l_fcorr_withz and not flags.l_fcorr:
         relax_sst = cs(CS_RELAX_SST)
         sst0 = cs(CS_SST0)
         do_rlx = relax_sst > 1.0e-10
-        dm_kmixe = _ext(dm, kmixe, li)
-        incr = dto_f * relax_sst * (sst0 - to[:, :1]) * dm_kmixe / hm[:, :1]
+        dm_kmixe = ext(dm, kmixe, li)
+        to_sfc = zs(to, 0, 1)
+        incr = dto_f * relax_sst * (sst0 - to_sfc) * dm_kmixe / hm_sfc
         if not flags.l_relax_calconly:
             rhs_t = rhs_t + jnp.where((row == 0) & do_rlx, incr, 0.0)
         fcorr = jnp.where(do_rlx,
-                          relax_sst * (sst0 - to[:, :1]) * dm_kmixe
+                          relax_sst * (sst0 - to_sfc) * dm_kmixe
                           * rho0 * cp0, 0.0)
     if flags.l_fcorr and not flags.l_relax_sst and not flags.l_fcorr_withz:
         rhs_t = rhs_t + jnp.where(
-            row == 0, dto_f * cs(CS_FCORR2D) / (rho0 * cp0 * hm[:, :1]), 0.0)
+            row == 0, dto_f * cs(CS_FCORR2D) / (rho0 * cp0 * hm_sfc), 0.0)
     tinc = jnp.zeros_like(u)
     if flags.l_fcorr_withz and not flags.l_fcorr:
         tinc = tinc + dto_f * fcorr_z / (rho * cp)
@@ -525,12 +570,12 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         tinc = tinc + dto_f * cs(CS_RELAX_OCNT) * (ocnt_clim - to)
     rhs_t = rhs_t + jnp.where(li <= nz - 1, tinc, 0.0)
     ocntcorr = tinc * rho * cp / dto_f
-    t_sol = _pcr_solve(cu_t, cc_t, cl_t, rhs_t, nz, row)
+    t_sol = _pcr_solve(cu_t, cc_t, cl_t, rhs_t, nz, row, za)
 
     # salinity (:164-219); wXNT(:,2) is identically zero in the reference
-    cu_s, cc_s, cl_s = _tridcof(difs, tdn, tup, nz, row)
+    cu_s, cc_s, cl_s = _tridcof(difs, tdn, tup, nz, row, za)
     rhs_s = _tridrhs(hm, so, jnp.zeros_like(u), difs, ghat, wx0s, wx0s,
-                     dto_f, tdn, nz, row)
+                     dto_f, tdn, nz, row, za)
     sinc = jnp.zeros_like(u)
     if flags.l_sfcorr_withz:
         sinc = sinc + dto_f * sfcorr_z
@@ -538,7 +583,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         sinc = sinc + dto_f * cs(CS_RELAX_SAL) * (sal_clim - so)
     rhs_s = rhs_s + jnp.where(li <= nz - 1, sinc, 0.0)
     scorr = sinc / dto_f
-    s_sol = _pcr_solve(cu_s, cc_s, cl_s, rhs_s, nz, row)
+    s_sol = _pcr_solve(cu_s, cc_s, cl_s, rhs_s, nz, row, za)
 
     # compose solutions: level nz held at the old value (tridmat :134-159)
     def compose(sol, old):
@@ -554,15 +599,15 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     if not full:
         zcol = jnp.zeros_like(hbl_b)
         colout = jnp.concatenate(
-            [hbl_b, kbl_f] + [zcol] * 6, axis=1)
+            [hbl_b, kbl_f] + [zcol] * 6, axis=za)
         return (u_n, v_n, t_n, s_n, u, v, t, s, colout)
 
-    uref_b = uref[:, nz - 1:nz]
-    vref_b = vref[:, nz - 1:nz]
+    uref_b = zs(uref, nz - 1, nz)
+    vref_b = zs(vref, nz - 1, nz)
     zcol = jnp.zeros_like(hbl_b)
     colout = jnp.concatenate(
         [hbl_b, kbl_f, rhoh2o, fcorr, wu0x, wu0y, wx0t, wx0s, wx0b,
-         uref_b, vref_b, ustar] + [zcol] * 4, axis=1)
+         uref_b, vref_b, ustar] + [zcol] * 4, axis=za)
     return (u_n, v_n, t_n, s_n, colout, difm, difs, dift, ghat, rho, cp,
             alpha, beta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
             tinc, sinc, ocntcorr, scorr)
@@ -585,22 +630,31 @@ def n_full_outputs():
 
 
 def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
-                    *, full: bool, impl: str = "xla", block: int = 128):
+                    *, full: bool, impl: str = "xla", block: int = 128,
+                    zaxis: int = 1):
     """Build the fused-pass callable.
 
     grid: VerticalGrid; returns fn(*arrays) -> tuple of outputs, where the
     25 inputs are (u, v, t, s, ux, vx, tx, sx, uo, vo, to, so, swdk, swfrac,
     ocnt_clim, sal_clim, fcorr_z, sfcorr_z, colscal, zm, hm, dm, tdn, tup,
-    aref) with profiles (ncol, WZ), colscal (ncol, NSC), grid rows (1, WZ),
-    aref (WZ, WZ).  Forcing profiles may be (1, WZ) dummies when the
-    corresponding flag is off.
+    aref).
+
+    Layout (static ``zaxis``):
+    * zaxis=1: profiles (ncol, WZ), colscal (ncol, NSC), grid rows (1, WZ)
+      — z on lanes (wastes 1 - wz/128 of each vector register);
+    * zaxis=0: profiles (WZ, ncol), colscal (NSC, ncol), grid rows (WZ, 1),
+      aref pre-transposed — columns on lanes (always full 128-lane
+      vectors), z on sublanes.  ~2x better VPU utilization at nz=69.
+
+    Forcing profiles may be z-row dummies when their flag is off.
 
     impl: "xla" (traced body — CPU / float64 parity) | "pallas" (TPU kernel)
     | "interpret" (Pallas interpreter — tests).
     """
     nz = grid.nz
     wz = nz + 2
-    body = partial(_pass_body, nz=nz, flags=flags, dto=dto, full=full)
+    body = partial(_pass_body, nz=nz, flags=flags, dto=dto, full=full,
+                   zaxis=zaxis, zbot=float(np.asarray(grid.zm)[nz]))
     if impl == "xla":
         return body
 
@@ -610,6 +664,8 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
     if ncol % block != 0:
         raise ValueError(f"ncol={ncol} must be a multiple of block={block}")
     n_out = n_full_outputs() if full else n_fast_outputs()
+    colout_pos = 4 if full else 8
+    colout_w = 16 if full else 8
 
     def kernel(*refs):
         ins = [r[:] for r in refs[:N_IN_TOTAL]]
@@ -618,13 +674,34 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
         for o_ref, val in zip(outs, res):
             o_ref[:] = val
 
-    def col_spec(a):
-        # (ncol, K) arrays blocked over columns; (1, K) broadcasts
-        if a.shape[0] == 1:
-            return pl.BlockSpec((1, a.shape[1]), lambda i: (0, 0),
+    if zaxis == 1:
+        def col_spec(a):
+            # (ncol, K) arrays blocked over columns; (1, K) broadcasts
+            if a.shape[0] == 1:
+                return pl.BlockSpec((1, a.shape[1]), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        return pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
+
+        def out_sd(k):
+            w = colout_w if k == colout_pos else wz
+            return (jax.ShapeDtypeStruct((ncol, w), dtype),
+                    pl.BlockSpec((block, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    else:
+        def col_spec(a):
+            # (K, ncol) arrays blocked over columns; (K, 1) broadcasts
+            if a.shape[1] == 1:
+                return pl.BlockSpec((a.shape[0], 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((a.shape[0], block), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def out_sd(k):
+            w = colout_w if k == colout_pos else wz
+            return (jax.ShapeDtypeStruct((w, ncol), dtype),
+                    pl.BlockSpec((w, block), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM))
 
     def call(*arrays):
         assert len(arrays) == N_IN_TOTAL, len(arrays)
@@ -636,15 +713,10 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
                                      memory_space=pltpu.VMEM))
         out_shapes = []
         out_specs = []
-        # outputs: profiles (ncol, WZ) except colout at position 8 (fast)
-        # or 4 (full), which is (ncol, NSC-ish width)
-        colout_pos = 4 if full else 8
-        colout_w = 16 if full else 8
         for k in range(n_out):
-            w = colout_w if k == colout_pos else wz
-            out_shapes.append(jax.ShapeDtypeStruct((ncol, w), dtype))
-            out_specs.append(pl.BlockSpec((block, w), lambda i: (i, 0),
-                                          memory_space=pltpu.VMEM))
+            sd, spec = out_sd(k)
+            out_shapes.append(sd)
+            out_specs.append(spec)
         return pl.pallas_call(
             kernel,
             grid=(ncol // block,),

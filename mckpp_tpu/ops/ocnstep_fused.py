@@ -67,18 +67,30 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
     dto = cfg.time.dto
     flags = pass_flags(cfg)
     lam = c.LAMBDA_SMOOTH
+    # kernel layout: columns-on-lanes (zaxis=0) keeps every vector register
+    # fully occupied (z goes to sublanes); z-on-lanes (zaxis=1) wastes
+    # 1 - (nz+2)/128 of the VPU at production nz.  State stays (ncol, ...)
+    # outside the kernel; transposes happen once per step, not per pass.
+    zaxis = 0 if ph.pass_layout == "col_lanes" else 1
 
-    # grid rows (1, WZ); hm padding lane set to 1 to keep divisions finite
-    zm_r = jnp.asarray(np.pad(np.asarray(grid.zm), (0, 1)),
-                       dtype)[None, :]
+    # grid rows, batch-layout (1, WZ) for the post-loop diagnostics;
+    # hm padding lane set to 1 to keep divisions finite
+    zm_np = np.pad(np.asarray(grid.zm), (0, 1))
     hm_np = np.pad(np.asarray(grid.hm), (0, 1), constant_values=1.0)
-    hm_r = jnp.asarray(hm_np, dtype)[None, :]
-    dm_r = jnp.asarray(np.pad(np.asarray(grid.dm), (0, 1)), dtype)[None, :]
-    tdn_r = jnp.asarray(np.pad(np.asarray(grid.tri_dn), (0, 1)),
-                        dtype)[None, :]
-    tup_r = jnp.asarray(np.pad(np.asarray(grid.tri_up), (0, 1)),
-                        dtype)[None, :]
-    aref = jnp.asarray(fp.build_ref_matrix(np.asarray(grid.zm), wz), dtype)
+    dm_np = np.pad(np.asarray(grid.dm), (0, 1))
+    tdn_np = np.pad(np.asarray(grid.tri_dn), (0, 1))
+    tup_np = np.pad(np.asarray(grid.tri_up), (0, 1))
+    zm_row = jnp.asarray(zm_np, dtype)[None, :]
+    hm_row = jnp.asarray(hm_np, dtype)[None, :]
+    # kernel-layout grid rows
+    if zaxis == 1:
+        orient = lambda a: jnp.asarray(a, dtype)[None, :]
+    else:
+        orient = lambda a: jnp.asarray(a, dtype)[:, None]
+    zm_r, hm_r = orient(zm_np), orient(hm_np)
+    dm_r, tdn_r, tup_r = orient(dm_np), orient(tdn_np), orient(tup_np)
+    aref_np = fp.build_ref_matrix(np.asarray(grid.zm), wz)
+    aref = jnp.asarray(aref_np if zaxis == 1 else aref_np.T, dtype)
     hm_lvl = jnp.asarray(grid.hm, dtype)            # (nzp1,)
     rfac_t = jnp.asarray(c.JERLOV_RFAC, dtype)
     a1_t = jnp.asarray(c.JERLOV_A1, dtype)
@@ -87,10 +99,24 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
     def step_fn(st: State, prm: ColumnParams, frc: Forcing, first_step):
         ncol = st.u.shape[0]
         fast = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
-                                  full=False, impl=impl, block=block)
+                                  full=False, impl=impl, block=block,
+                                  zaxis=zaxis)
         fullp = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
-                                   full=True, impl=impl, block=block)
+                                   full=True, impl=impl, block=block,
+                                   zaxis=zaxis)
         active = prm.run_physics
+        # batch (ncol, wz) <-> kernel layout
+        tok = (lambda a: a) if zaxis == 1 else (lambda a: a.T)
+        tob = tok
+        co = ((lambda c_, k: c_[:, k]) if zaxis == 1
+              else (lambda c_, k: c_[k]))
+
+        def mcol(mask, a, b):
+            """Masked merge with a (ncol,) mask, layout-aware."""
+            if a.ndim == 1:
+                return jnp.where(mask, a, b)
+            m = mask[:, None] if zaxis == 1 else mask[None, :]
+            return jnp.where(m, a, b)
 
         # ---- history-phase repair + extrapolation (:91-112) --------------
         old = jnp.where((st.old < 0) | (st.old > 1), st.new, st.old)
@@ -104,16 +130,16 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
         u_ex3 = 2.0 * us_new - us_old                  # (ncol, nzp1, 2)
         x_ex3 = 2.0 * xs_new - xs_old
 
-        u_e = _pad(u_ex3[:, :, 0], wz)
-        v_e = _pad(u_ex3[:, :, 1], wz)
-        t_e = _pad(x_ex3[:, :, 0], wz)
-        s_e = _pad(x_ex3[:, :, 1], wz)
-        uo = _pad(st.u[:, :, 0], wz)
-        vo = _pad(st.u[:, :, 1], wz)
-        to = _pad(st.x[:, :, 0], wz)
-        so = _pad(st.x[:, :, 1], wz)
-        swdk_c = _pad(st.swdk_opt, wz)
-        swfrac_c = _pad(st.swfrac, wz)
+        u_e = tok(_pad(u_ex3[:, :, 0], wz))
+        v_e = tok(_pad(u_ex3[:, :, 1], wz))
+        t_e = tok(_pad(x_ex3[:, :, 0], wz))
+        s_e = tok(_pad(x_ex3[:, :, 1], wz))
+        uo = tok(_pad(st.u[:, :, 0], wz))
+        vo = tok(_pad(st.u[:, :, 1], wz))
+        to = tok(_pad(st.x[:, :, 0], wz))
+        so = tok(_pad(st.x[:, :, 1], wz))
+        swdk_c = tok(_pad(st.swdk_opt, wz))
+        swfrac_c = tok(_pad(st.swfrac, wz))
 
         one = jnp.ones((ncol,), dtype)
         zero = jnp.zeros((ncol,), dtype)
@@ -129,13 +155,16 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                      prm.relax_sst, frc.sst0, frc.fcorr_twod,
                      prm.relax_ocnt, prm.relax_sal, st.fcorr]
             cols += [zero] * (fp.NSC - len(cols))
-            return jnp.stack([jnp.asarray(cc, dtype) for cc in cols], axis=1)
+            return jnp.stack([jnp.asarray(cc, dtype) for cc in cols],
+                             axis=zaxis)
 
-        dummy = jnp.zeros((1, wz), dtype)
-        ocnt_p = _pad(frc.ocnt_clim, wz) if flags.l_relax_ocnt else dummy
-        sal_p = _pad(frc.sal_clim, wz) if flags.l_relax_sal else dummy
-        fcz_p = _pad(frc.fcorr_withz, wz) if flags.l_fcorr_withz else dummy
-        sfcz_p = _pad(frc.sfcorr_withz, wz) if flags.l_sfcorr_withz else dummy
+        dummy = jnp.zeros((1, wz) if zaxis == 1 else (wz, 1), dtype)
+        ocnt_p = tok(_pad(frc.ocnt_clim, wz)) if flags.l_relax_ocnt else dummy
+        sal_p = tok(_pad(frc.sal_clim, wz)) if flags.l_relax_sal else dummy
+        fcz_p = (tok(_pad(frc.fcorr_withz, wz))
+                 if flags.l_fcorr_withz else dummy)
+        sfcz_p = (tok(_pad(frc.sfcorr_withz, wz))
+                  if flags.l_sfcorr_withz else dummy)
 
         def run_pass(fn, u, v, t, s, ux, vx, tx, sx, csc):
             return fn(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
@@ -150,8 +179,8 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             for _ in range(3):            # compulsory passes (:122-135)
                 u, v, t, s, ux, vx, tx, sx, colout = run_pass(
                     fast, u, v, t, s, ux, vx, tx, sx, csc)
-            hmixn = colout[:, 0]
-            kmixn = colout[:, 1].astype(jnp.int32)
+            hmixn = co(colout, 0)
+            kmixn = co(colout, 1).astype(jnp.int32)
             if not ph.lkpp:
                 return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn
 
@@ -163,8 +192,8 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                  hmixe, kmixe, hmixn, kmixn, it, iconv, cont) = carry
                 (u_n, v_n, t_n, s_n, ux_n, vx_n, tx_n, sx_n,
                  colout) = run_pass(fast, u, v, t, s, ux, vx, tx, sx, csc)
-                hmix_p = colout[:, 0]
-                kmix_p = colout[:, 1].astype(jnp.int32)
+                hmix_p = co(colout, 0)
+                kmix_p = co(colout, 1).astype(jnp.int32)
                 it_n = it + 1
                 tol = ph.hmixtolfrac * jnp.where(
                     kmix_p == nzp1, hm_lvl[nz - 1],
@@ -177,9 +206,7 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                 hmixe_n = jnp.where(cont_n, hmix_p, hmixe)
                 kmixe_n = jnp.where(cont_n, kmix_p, kmixe)
 
-                def m(a, b):
-                    mask = cont.reshape(cont.shape + (1,) * (a.ndim - 1))
-                    return jnp.where(mask, a, b)
+                m = lambda a, b: mcol(cont, a, b)
 
                 return (m(u_n, u), m(v_n, v), m(t_n, t), m(s_n, s),
                         m(ux_n, ux), m(vx_n, vx), m(tx_n, tx), m(sx_n, sx),
@@ -197,19 +224,20 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn
 
         # ---- instability trap (:89, :194-236) -----------------------------
-        li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
-        w_rms = jnp.where(li <= nz, hm_r / grid.dm[nz].astype(dtype), 0.0)
+        li_k = jax.lax.broadcasted_iota(
+            jnp.int32, (1, wz) if zaxis == 1 else (wz, 1), zaxis)
+        w_rms = jnp.where(li_k <= nz, hm_r / grid.dm[nz].astype(dtype), 0.0)
 
         def instability(u, v, t, s):
-            lvl = li < nz                       # levels 1..nz
-            dxv = jnp.abs(t - fp._shl(t, 1))
+            lvl = li_k < nz                     # levels 1..nz
+            dxv = jnp.abs(t - fp._shl(t, 1, axis=zaxis))
             bad = lvl & ((jnp.abs(u) >= 10.0) | (jnp.abs(v) >= 10.0)
                          | (dxv >= 10.0))
-            nbad = bad.sum(axis=1)
-            blown = bad.any(axis=1)
+            nbad = bad.sum(axis=zaxis)
+            blown = bad.any(axis=zaxis)
 
             def rmsd(q, qo):
-                return jnp.sqrt((((q - qo) ** 2) * w_rms).sum(axis=1))
+                return jnp.sqrt((((q - qo) ** 2) * w_rms).sum(axis=zaxis))
 
             thr = jnp.asarray(c.RMSD_THRESHOLD, dtype)
             exceed = jnp.stack([rmsd(u, uo) >= thr[0], rmsd(v, vo) >= thr[1],
@@ -233,10 +261,7 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             f_n = f_local * jnp.where(comp_n, fmul, 1.0)
             reset_n = reset + 1.0
 
-            def m(a, b):
-                mask = pred.reshape(pred.shape + (1,) * (a.ndim - 1))
-                return jnp.where(mask, a, b)
-
+            m = lambda a, b: mcol(pred, a, b)
             o = carry
             # carry slot 13 records the f actually used by the surviving
             # attempt: the reference multiplies f AFTER the integration
@@ -260,18 +285,22 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
 
         # ---- final full pass: last pass + diagnostics ----------------------
         csc_f = colscal_of(f_used)
-        (u_p, v_p, t_p, s_p, colout, difm, difs, dift, ghat, rho, cp,
+        outs = run_pass(fullp, ux_f, vx_f, tx_f, sx_f,
+                        ux_f, vx_f, tx_f, sx_f, csc_f)
+        colout = outs[4]
+        (u_p, v_p, t_p, s_p, difm, difs, dift, ghat, rho, cp,
          talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
-         tinc, sinc, ocntcorr, scorr) = run_pass(
-            fullp, ux_f, vx_f, tx_f, sx_f, ux_f, vx_f, tx_f, sx_f, csc_f)
-        rhoh2o = colout[:, 2]
-        fcorr = colout[:, 3]
-        wu0x, wu0y = colout[:, 4], colout[:, 5]
-        wx0t, wx0s, wx0b = colout[:, 6], colout[:, 7], colout[:, 8]
+         tinc, sinc, ocntcorr, scorr) = [
+            tob(a) for a in outs[:4] + outs[5:]]
+        rhoh2o = co(colout, 2)
+        fcorr = co(colout, 3)
+        wu0x, wu0y = co(colout, 4), co(colout, 5)
+        wx0t, wx0s, wx0b = co(colout, 6), co(colout, 7), co(colout, 8)
 
-        # ---- diagnostic fluxes (:242-256) ---------------------------------
+        # ---- diagnostic fluxes (:242-256); batch layout (ncol, wz) ---------
+        li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
         intm = (li >= 1) & (li <= nz)
-        deltaz = 0.5 * (fp._shr(hm_r, 1) + hm_r)       # interface lane i
+        deltaz = 0.5 * (fp._shr(hm_row, 1) + hm_row)   # interface lane i
         dz_safe = jnp.where(intm, deltaz, 1.0)
         dif_x = dift if ph.ldd else difs
         wx1 = -dif_x * ((fp._shr(t_p, 1) - t_p) / dz_safe
