@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -105,7 +107,8 @@ class DiagnosticsManager:
 
     def __init__(self, streams: List[Stream], nx: int, ny: int, zm,
                  outdir: str = ".", start_time_days: float = 0.0,
-                 dto_seconds: float = 0.0, l_ocean=None):
+                 dto_seconds: float = 0.0, l_ocean=None,
+                 async_write: bool = True):
         self.streams = streams
         self.nx, self.ny = nx, ny
         self.zm = np.asarray(zm)
@@ -122,6 +125,13 @@ class DiagnosticsManager:
             s.name: [] for s in streams}
         self._split_idx: Dict[str, int] = {s.name: 0 for s in streams}
         self.paths: Dict[str, str] = {}
+        # async writer: the device->host fetch + NetCDF encode of a closed
+        # split window runs on a background thread, overlapping the next
+        # window's device compute (the XIOS-server analog of detached I/O)
+        self._writer = ThreadPoolExecutor(max_workers=1) if async_write \
+            else None
+        self._pending = []
+        self._plock = threading.Lock()
 
         @partial(jax.jit, static_argnames=("reduction",))
         def _update(accum, fields, reduction):
@@ -149,15 +159,6 @@ class DiagnosticsManager:
     def _emit(self, s: Stream, nt: int):
         acc = self._accum[s.name]
         cnt = self._count[s.name]
-        rec = {}
-        for k, v in acc.items():
-            a = np.asarray(v)
-            if s.reduction == "average":
-                a = a / cnt
-            if self.mask is not None:
-                a = a.copy()
-                a[self.mask, ...] = FILL_VALUE
-            rec[k] = a
         t = self.start + nt * self.dto_days
         # close the current split window first if this record starts a new
         # one (record time stamps the END of its reduction window, so the
@@ -167,15 +168,40 @@ class DiagnosticsManager:
             if self._records[s.name] and k != self._split_idx[s.name]:
                 self._write_split(s)
             self._split_idx[s.name] = k
-        self._records[s.name].append((t, rec))
+        # keep device arrays; the fetch/normalize happens on the writer
+        self._records[s.name].append((t, (acc, cnt, s.reduction)))
         self._accum[s.name] = None
         self._count[s.name] = 0
 
+    def _materialize(self, packed):
+        acc, cnt, reduction = packed
+        rec = {}
+        for k, v in acc.items():
+            a = np.asarray(v)
+            if reduction == "average":
+                a = a / cnt
+            if self.mask is not None:
+                a = a.copy()
+                a[self.mask, ...] = FILL_VALUE
+            rec[k] = a
+        return rec
+
     def _write_split(self, s: Stream):
-        """Write (and drop) the stream's buffered records."""
+        """Hand the stream's buffered records to the writer (async when
+        enabled) and drop them from the buffer."""
         recs = self._records[s.name]
         if not recs:
             return None
+        self._records[s.name] = []
+        split_idx = self._split_idx[s.name]
+        if self._writer is not None:
+            self._pending.append(
+                self._writer.submit(self._encode, s, recs, split_idx))
+        else:
+            self._encode(s, recs, split_idx)
+
+    def _encode(self, s: Stream, recs, split_idx):
+        recs = [(t, self._materialize(p)) for t, p in recs]
         times = [t for t, _ in recs]
         nt = len(recs)
         nzp1 = len(self.zm)
@@ -194,7 +220,7 @@ class DiagnosticsManager:
                 fields[name] = (("time", "y", "x"),
                                 arr.reshape(nt, self.ny, self.nx))
         if s.split_freq_days:
-            split_start = self.start + self._split_idx[s.name] * s.split_freq_days
+            split_start = self.start + split_idx * s.split_freq_days
             fname = f"{s.name}_{split_start:09.3f}.nc"
         else:
             fname = f"{s.name}.nc"
@@ -203,15 +229,18 @@ class DiagnosticsManager:
         ncio.write_fields(path, dims, coords, fields,
                           attrs={"reduction": s.reduction.encode(),
                                  "fill_value": FILL_VALUE})
-        self.paths[fname if s.split_freq_days else s.name] = path
-        self._records[s.name] = []
+        with self._plock:
+            self.paths[fname if s.split_freq_days else s.name] = path
         return path
 
     def flush(self):
-        """Write any remaining buffered records; returns all paths
-        written over the run."""
+        """Write any remaining buffered records, wait for the async
+        writer to drain; returns all paths written over the run."""
         for s in self.streams:
             self._write_split(s)
+        for fut in self._pending:
+            fut.result()
+        self._pending = []
         return self.paths
 
 
