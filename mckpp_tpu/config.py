@@ -101,7 +101,9 @@ class PhysicsFlags:
                                       # for unsupported features;
                                       # "reference" | "fused_xla" |
                                       # "pallas" | "pallas_interpret"
-    pass_block: int = 128             # Pallas column-tile size
+    pass_block: int = 256             # Pallas column-tile size (v5e
+                                      # interleaved A/B: 256 ~3% over 128;
+                                      # 512 neutral; 1024 OOMs VMEM)
     pass_layout: str = "col_lanes"    # fused-kernel data layout:
                                       # "col_lanes" (columns on the 128
                                       # vector lanes, z on sublanes — full

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax.numpy as jnp
@@ -86,6 +88,13 @@ class AncillaryReader:
         self.offsets = (0, 0)
         self.file_times: Optional[np.ndarray] = None
         self.nz_in: Optional[int] = None
+        # prefetch cache: {(kind, var, pos): host array}, filled by a
+        # background prefetcher ahead of the ancillary cadence and consumed
+        # (popped) by the synchronous read — the host-side analog of the
+        # "prefetch on the ancillary cadence" reader in SURVEY §2.6.
+        self._cache: dict = {}
+        self._cache_lock = threading.Lock()
+        self.cache_hits = 0
 
     def _initialize(self, nc):
         self.offsets = ncio.determine_boundaries(nc, self.lon0, self.lat0)
@@ -94,8 +103,7 @@ class AncillaryReader:
             self.nz_in = len(nc.variables["z"][:])
         self._init = True
 
-    def read2d(self, var: str, pos: int) -> np.ndarray:
-        """(npts,) slab at time index pos (file layout (t, y, x))."""
+    def _read2d_uncached(self, var: str, pos: int) -> np.ndarray:
         with ncio.open_nc(self.path) as nc:
             if not self._init:
                 self._initialize(nc)
@@ -105,8 +113,16 @@ class AncillaryReader:
                                          olon:olon + self.nx]
         return data.reshape(-1)
 
-    def read3d(self, var: str, pos: int, nzp1: int) -> np.ndarray:
-        """(npts, nzp1) slab at time index pos (file layout (t, z, y, x))."""
+    def read2d(self, var: str, pos: int) -> np.ndarray:
+        """(npts,) slab at time index pos (file layout (t, y, x))."""
+        with self._cache_lock:
+            hit = self._cache.pop(("2d", var, pos), None)
+        if hit is not None:
+            self.cache_hits += 1
+            return hit
+        return self._read2d_uncached(var, pos)
+
+    def _read3d_uncached(self, var: str, pos: int, nzp1: int) -> np.ndarray:
         with ncio.open_nc(self.path) as nc:
             if not self._init:
                 self._initialize(nc)
@@ -119,6 +135,29 @@ class AncillaryReader:
             raise ncio.NetCDFError(
                 f"{self.path}:{var} has {nz_in} levels, expected {nzp1}")
         return np.moveaxis(data, 0, -1).reshape(-1, nzp1)
+
+    def read3d(self, var: str, pos: int, nzp1: int) -> np.ndarray:
+        """(npts, nzp1) slab at time index pos (file layout (t, z, y, x))."""
+        with self._cache_lock:
+            hit = self._cache.pop(("3d", var, pos, nzp1), None)
+        if hit is not None:
+            self.cache_hits += 1
+            return hit
+        return self._read3d_uncached(var, pos, nzp1)
+
+    def prefetch(self, kind: str, var: str, pos: int,
+                 nzp1: Optional[int] = None) -> None:
+        """Read a slab into the cache (runs on the prefetcher thread).
+        The cached bytes are exactly what the synchronous read would
+        produce, so consuming them cannot change results."""
+        key = ("2d", var, pos) if kind == "2d" else ("3d", var, pos, nzp1)
+        with self._cache_lock:
+            if key in self._cache:
+                return
+        data = (self._read2d_uncached(var, pos) if kind == "2d"
+                else self._read3d_uncached(var, pos, nzp1))
+        with self._cache_lock:
+            self._cache[key] = data
 
     def times(self) -> np.ndarray:
         if not self._init:
@@ -161,7 +200,7 @@ class BoundaryManager:
     (mckpp_initialize_fields_mod.F90:70-118)."""
 
     def __init__(self, cfg: KppConfig, lon0: float, lat0: float,
-                 nzp1: int, sref: np.ndarray):
+                 nzp1: int, sref: np.ndarray, prefetch: bool = True):
         self.cfg = cfg
         self.nzp1 = nzp1
         self.sref = np.asarray(sref)
@@ -182,6 +221,15 @@ class BoundaryManager:
         need_sal = (b.l_relax_sal or f.l_upd_sal or f.l_no_isotherm)
         self.ocnt = mk(f.ocnt_file) if need_ocnt else None
         self.sal = mk(f.sal_file) if need_sal else None
+        # async prefetcher: after each dispatcher pass, the next record due
+        # on every active cadence is read ahead on a background thread so
+        # the step loop's synchronous read is a cache hit (SURVEY §2.6:
+        # "prefetch on the ancillary cadence").  Determinism is preserved:
+        # the cache is keyed by (var, record-index) and holds exactly the
+        # bytes the synchronous read would produce.
+        self.prefetch_enabled = prefetch
+        self._prefetch_pool: Optional[ThreadPoolExecutor] = None
+        self._prefetch_futs: list = []
 
     def set_layout(self, layout) -> None:
         """Attach a parallel.distributed.ColumnLayout (or None)."""
@@ -340,6 +388,8 @@ class BoundaryManager:
         if f.l_no_isotherm and not b.l_relax_sal and not b.l_relax_ocnt:
             frc = self.read_ocnt(frc)
             frc = self.read_sal(frc)
+        if self.prefetch_enabled:
+            self.schedule_prefetch(1, time_days)
         return frc
 
     # ---- per-step dispatcher (mckpp_boundary_update_mod.F90:24-124) ------
@@ -369,4 +419,86 @@ class BoundaryManager:
             frc = self.read_ocnt(frc)
         elif f.l_upd_ocnt and f.l_interp_ocnt and due(f.ndt_interp_ocnt):
             frc = self.interp_ocnt(frc)
+        if self.prefetch_enabled:
+            self.schedule_prefetch(ntime, time_days)
         return frc
+
+    # ---- cadence-ahead prefetch ------------------------------------------
+    def _prefetch_jobs(self, ntime: int, time_days: float):
+        """(reader, kind, var, ndt, periodic, period, method, time') for
+        every ancillary whose next cadence firing can be read ahead
+        (time-interpolated fields are excluded: their bracketing records
+        are cheap repeat reads)."""
+        f, b, t = self.cfg.forcing, self.cfg.boundary, self.cfg.time
+        table = []
+        if b.l_upd_climsst:
+            table.append((self.sst, "2d", "sst", b.ndtupdsst,
+                          b.l_periodic_climsst, b.climsst_period, 1))
+        if b.l_upd_climice:
+            vars_ = ["iceconc"]
+            if b.l_clim_ice_depth:
+                vars_.append("icedepth")
+            if b.l_clim_snow_on_ice:
+                vars_.append("snowdepth")
+            for v in vars_:
+                table.append((self.ice, "2d", v, b.ndtupdice,
+                              b.l_periodic_climice, b.climice_period, 1))
+        if f.l_upd_fcorr and f.l_fcorr_withz:
+            table.append((self.fcorr, "3d", "fcorr", f.ndtupdfcorr,
+                          f.l_periodic_fcorr, f.fcorr_period, 1))
+        elif f.l_upd_fcorr and f.l_fcorr:
+            table.append((self.fcorr, "2d", "fcorr", f.ndtupdfcorr,
+                          f.l_periodic_fcorr, f.fcorr_period, 2))
+        if f.l_upd_sfcorr and f.l_sfcorr_withz:
+            table.append((self.sfcorr, "3d", "sfcorr", f.ndtupdsfcorr,
+                          f.l_periodic_sfcorr, f.sfcorr_period, 1))
+        elif f.l_upd_sfcorr and f.l_sfcorr:
+            table.append((self.sfcorr, "2d", "sfcorr", f.ndtupdsfcorr,
+                          f.l_periodic_sfcorr, f.sfcorr_period, 2))
+        if f.l_upd_bottom_temp:
+            table.append((self.bottom, "2d", "T", f.ndtupdbottom,
+                          f.l_periodic_bottom_temp, f.bottom_temp_period, 1))
+        if f.l_upd_sal and not f.l_interp_sal:
+            table.append((self.sal, "3d", "salinity", f.ndtupdsal,
+                          f.l_periodic_sal, f.sal_period, 2))
+        if f.l_upd_ocnt and not f.l_interp_ocnt:
+            table.append((self.ocnt, "3d", "temperature", f.ndtupdocnt,
+                          f.l_periodic_ocnt, f.ocnt_period, 2))
+        jobs = []
+        for reader, kind, var, ndt, periodic, period, method in table:
+            # next step n' > ntime with (n'-1) % ndt == 0
+            n_next = ((ntime - 1) // ndt + 1) * ndt + 1
+            t_next = time_days + (n_next - ntime) * t.dto / SPD
+            jobs.append((reader, kind, var, ndt, periodic, period,
+                         method, t_next))
+        return jobs
+
+    def schedule_prefetch(self, ntime: int, time_days: float) -> None:
+        """Queue background reads of each active ancillary's next record."""
+        jobs = self._prefetch_jobs(ntime, time_days)
+        if not jobs:
+            return
+        if self._prefetch_pool is None:
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ancprefetch")
+        t = self.cfg.time
+
+        def run(reader, kind, var, ndt, periodic, period, method, when):
+            try:
+                _, pos = get_update_time(when, ndt, reader.times(), periodic,
+                                         period, t.dto, t.dtsec, method=method)
+                reader.prefetch(kind, var, pos,
+                                self.nzp1 if kind == "3d" else None)
+            except Exception:
+                # the synchronous read raises the real, contextful error
+                pass
+
+        self._prefetch_futs = [f for f in self._prefetch_futs if not f.done()]
+        for job in jobs:
+            self._prefetch_futs.append(self._prefetch_pool.submit(run, *job))
+
+    def drain_prefetch(self) -> None:
+        """Wait for queued prefetch reads (test/shutdown hook)."""
+        for f in self._prefetch_futs:
+            f.result()
+        self._prefetch_futs = []

@@ -88,7 +88,14 @@ def get_time_axis(nc, names=("time", "t")) -> np.ndarray:
 def write_fields(path: str, dims: dict, coords: dict, fields: dict,
                  attrs: Optional[dict] = None):
     """Write a NetCDF3 file: dims {name: size or None (unlimited)},
-    coords {name: (dimname, values)}, fields {name: (dims-tuple, array)}."""
+    coords {name: (dimname, values)}, fields {name: (dims-tuple, array)}.
+
+    Prefers the native C++ streaming encoder (mckpp_tpu/native/ncwriter.cc,
+    the XIOS-analog output component) and falls back to scipy's pure-Python
+    writer when the toolchain is unavailable or MCKPP_NO_NATIVE is set."""
+    from .. import native
+    if native.write_fields_native(path, dims, coords, fields, attrs):
+        return
     with netcdf_file(path, "w", mmap=False) as nc:
         for name, size in dims.items():
             nc.createDimension(name, size)

