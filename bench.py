@@ -42,7 +42,7 @@ def parity_check(ge, nz):
         diffs[name] = float(np.abs(a - b).max() / scale)
     print(json.dumps({"parity_pallas_vs_fused_xla_max_rel_diff": diffs}),
           file=sys.stderr)
-    bad = {k: v for k, v in diffs.items() if v > 2e-4}
+    bad = {k: v for k, v in diffs.items() if v > 1e-5}
     assert not bad, f"Pallas kernel disagrees with fused-XLA body: {bad}"
 
 

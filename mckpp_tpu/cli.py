@@ -92,7 +92,7 @@ def main(argv=None):
 
     streams = ([Stream(name, red, freq)
                 for (name, red, freq) in cfg.output.streams]
-               or default_streams(cfg.time.ndtocn,
+               or default_streams(cfg.time.dto,
                                   split_freq_days=cfg.output.split_freq_days))
     diag = DiagnosticsManager(
         streams, cfg.domain.nx, cfg.domain.ny,

@@ -157,6 +157,12 @@ class AncillaryReader:
         data = (self._read2d_uncached(var, pos) if kind == "2d"
                 else self._read3d_uncached(var, pos, nzp1))
         with self._cache_lock:
+            # bound the cache: one (newest) entry per (kind, var).  If a
+            # prefetch loses the race with the synchronous read (short
+            # cadences), the stale entry would otherwise never be consumed
+            # and host memory would grow by a record per missed race.
+            for k in [k for k in self._cache if k[:2] == (kind, var)]:
+                del self._cache[k]
             self._cache[key] = data
 
     def times(self) -> np.ndarray:

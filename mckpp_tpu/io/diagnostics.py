@@ -244,12 +244,13 @@ class DiagnosticsManager:
         return self.paths
 
 
-def default_streams(ndtocn: int = 3, split_freq_days: Optional[float] = None
-                    ) -> List[Stream]:
+def default_streams(dto_seconds: float = 1200.0,
+                    split_freq_days: Optional[float] = None) -> List[Stream]:
     """The reference test job's four streams (run/iodef.xml:88-157):
-    1h instant, 3h mean, 3h min, 3h max — expressed in ocean steps for
-    dto=1200 s; iodef.xml splits files daily (split_freq="1d")."""
-    per_hour = max(1, int(round(3600.0 / 1200.0)))
+    1h instant, 3h mean, 3h min, 3h max — the wall-clock cadences converted
+    to ocean steps for the run's actual dto; iodef.xml splits files daily
+    (split_freq="1d")."""
+    per_hour = max(1, int(round(3600.0 / dto_seconds)))
     return [
         Stream("kpp_1h_inst", "instant", per_hour,
                split_freq_days=split_freq_days),

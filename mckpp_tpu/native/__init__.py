@@ -30,12 +30,25 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
 
 
+def _default_cache_dir() -> str:
+    """Per-user build cache.  A world-writable location (e.g. /tmp) would
+    let another user pre-plant a .so that ctypes would then load; use
+    ~/.cache (or XDG_CACHE_HOME) instead and create it mode 0700."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    if base.startswith("~"):        # no resolvable home dir: per-uid tmp dir
+        base = os.path.join(tempfile.gettempdir(), f"mckpp-uid{os.getuid()}")
+    return os.path.join(base, "mckpp_tpu_native")
+
+
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = os.path.join(_SRC_DIR, "ncwriter.cc")
-    cache = os.environ.get(
-        "MCKPP_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "mckpp_tpu_native"))
-    os.makedirs(cache, exist_ok=True)
+    cache = os.environ.get("MCKPP_NATIVE_CACHE", _default_cache_dir())
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    stat = os.stat(cache)
+    if stat.st_uid != os.getuid():
+        raise RuntimeError(f"native cache dir {cache} owned by uid "
+                           f"{stat.st_uid}, not {os.getuid()}; refusing to "
+                           "load code from it (set MCKPP_NATIVE_CACHE)")
     sofile = os.path.join(cache, "libmckpp_native.so")
     if (not os.path.exists(sofile)
             or os.path.getmtime(sofile) < os.path.getmtime(src)):
@@ -95,27 +108,34 @@ def write_fields_native(path: str, dims: dict, coords: dict, fields: dict,
     dim_ids = {}
     keep = []  # keep array refs alive until ncw_close
     ok = True
-    for name, size in dims.items():
-        dim_ids[name] = lib.ncw_def_dim(h, name.encode(), int(size))
-        ok &= dim_ids[name] >= 0
-    for k, val in (attrs or {}).items():
-        if isinstance(val, (bytes, str)):
-            v = val if isinstance(val, bytes) else val.encode()
-            lib.ncw_att_text(h, k.encode(), v)
-        else:
-            lib.ncw_att_double(h, k.encode(), float(val))
+    try:
+        for name, size in dims.items():
+            dim_ids[name] = lib.ncw_def_dim(h, name.encode(), int(size))
+            ok &= dim_ids[name] >= 0
+        for k, val in (attrs or {}).items():
+            if isinstance(val, (bytes, str)):
+                v = val if isinstance(val, bytes) else val.encode()
+                lib.ncw_att_text(h, k.encode(), v)
+            else:
+                lib.ncw_att_double(h, k.encode(), float(val))
 
-    def def_var(name, fdims, arr):
-        a = np.ascontiguousarray(arr, dtype="<f8")
-        keep.append(a)
-        ids = (ctypes.c_int * len(fdims))(*[dim_ids[d] for d in fdims])
-        return lib.ncw_def_var_f64(
-            h, name.encode(), len(fdims), ids,
-            a.ctypes.data_as(ctypes.c_void_p)) >= 0
+        def def_var(name, fdims, arr):
+            a = np.ascontiguousarray(arr, dtype="<f8")
+            keep.append(a)
+            ids = (ctypes.c_int * len(fdims))(*[dim_ids[d] for d in fdims])
+            return lib.ncw_def_var_f64(
+                h, name.encode(), len(fdims), ids,
+                a.ctypes.data_as(ctypes.c_void_p)) >= 0
 
-    for name, (dim, vals) in coords.items():
-        ok &= def_var(name, (dim,), vals)
-    for name, (fdims, arr) in fields.items():
-        ok &= def_var(name, fdims, arr)
+        for name, (dim, vals) in coords.items():
+            ok &= def_var(name, (dim,), vals)
+        for name, (fdims, arr) in fields.items():
+            ok &= def_var(name, fdims, arr)
+    except Exception:
+        # payloads the native subset can't express (unknown dim name,
+        # array-valued attrs, non-numeric data) fall back to the
+        # pure-Python writer; ncw_close still frees the handle
+        lib.ncw_close(h)
+        return False
     nbytes = lib.ncw_close(h)
     return ok and nbytes > 0

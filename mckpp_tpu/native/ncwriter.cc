@@ -148,7 +148,10 @@ void* ncw_create(const char* path) {
 
 int ncw_def_dim(void* h, const char* name, long long len) {
   Writer* w = static_cast<Writer*>(h);
-  if (len <= 0) {  // record dims unsupported in this subset
+  // record dims unsupported in this subset; dims beyond the CDF-2 int32
+  // limit would truncate in the header, so refuse those too (caller then
+  // falls back to the pure-Python writer)
+  if (len <= 0 || len > 0x7FFFFFFFLL) {
     w->failed = true;
     return -1;
   }

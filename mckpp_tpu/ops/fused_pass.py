@@ -662,11 +662,17 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
     from jax.experimental.pallas import tpu as pltpu
 
     # clamp the column tile to a divisor of ncol (small batches, parity
-    # probes); measured on v5e: 256 beats 128 by ~6%, 1024 overflows VMEM
+    # probes); measured on v5e: 256 beats 128 by ~3%, 512 neutral, 1024
+    # overflows VMEM (see config.py pass_block)
+    requested_block = block
     while block > 8 and ncol % block != 0:
         block //= 2
     if ncol % block != 0:
         raise ValueError(f"ncol={ncol} must be a multiple of block={block}")
+    if block != requested_block:
+        from ..utils.logging import mckpp_print
+        mckpp_print("FUSED_PASS", f"pass_block {requested_block} does not "
+                    f"divide ncol={ncol}; clamped to {block}")
     n_out = n_full_outputs() if full else n_fast_outputs()
     colout_pos = 4 if full else 8
     colout_w = 16 if full else 8

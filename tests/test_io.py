@@ -216,3 +216,14 @@ def test_diagnostics_daily_split_masking_bounded_memory(tmp_path):
     with ncio.open_nc(str(files[1])) as nc:
         times2 = ncio.get_var(nc, "time")
     np.testing.assert_allclose(times2, [1.25, 1.5, 1.75, 2.0])
+
+
+def test_default_streams_follow_dto():
+    """Stream cadences are wall-clock (1h/3h, run/iodef.xml:91-155) and must
+    be converted using the run's actual dto, not an assumed 1200 s."""
+    s1200 = {s.name: s.freq for s in diag.default_streams(1200.0)}
+    assert s1200 == {"kpp_1h_inst": 3, "kpp_3h_mean": 9,
+                     "kpp_3h_min": 9, "kpp_3h_max": 9}
+    s3600 = {s.name: s.freq for s in diag.default_streams(3600.0)}
+    assert s3600 == {"kpp_1h_inst": 1, "kpp_3h_mean": 3,
+                     "kpp_3h_min": 3, "kpp_3h_max": 3}
