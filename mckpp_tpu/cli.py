@@ -12,6 +12,7 @@ streams, restart writes and the named-timer report.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import jax
@@ -36,6 +37,9 @@ def main(argv=None):
     p.add_argument("--output-dir", default=".")
     p.add_argument("--steps", type=int, default=None,
                    help="override number of ocean timesteps")
+    p.add_argument("--iodef", default=None,
+                   help="iodef.xml-style stream-config file (overrides the "
+                        "namelist's IODEF_FILE)")
     p.add_argument("--multi-device", action="store_true",
                    help="shard the column axis over all local devices")
     p.add_argument("--distributed", action="store_true",
@@ -90,10 +94,20 @@ def main(argv=None):
             f"sharded over {layout.n_devices} devices "
             f"({jax.process_count()} hosts), {ncol} padded columns")
 
-    streams = ([Stream(name, red, freq)
-                for (name, red, freq) in cfg.output.streams]
-               or default_streams(cfg.time.dto,
-                                  split_freq_days=cfg.output.split_freq_days))
+    iodef_path = args.iodef or cfg.output.iodef_file
+    if cfg.output.streams:
+        streams = [Stream(name, red, freq)
+                   for (name, red, freq) in cfg.output.streams]
+    elif iodef_path:
+        from .io.streams import parse_iodef
+        if not os.path.isabs(iodef_path):
+            iodef_path = os.path.join(args.data_dir, iodef_path)
+        streams = parse_iodef(iodef_path, cfg.time.dto)
+        mckpp_print(routine, f"output streams from {iodef_path}: "
+                    f"{[s.name for s in streams]}")
+    else:
+        streams = default_streams(
+            cfg.time.dto, split_freq_days=cfg.output.split_freq_days)
     diag = DiagnosticsManager(
         streams, cfg.domain.nx, cfg.domain.ny,
         model.grid.zm, outdir=args.output_dir,

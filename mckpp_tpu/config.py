@@ -232,6 +232,9 @@ class OutputConfig:
     # file-splitting window in days (iodef.xml split_freq="1d" equivalent);
     # None -> one file per stream
     split_freq_days: Optional[float] = None
+    # path to an iodef.xml-style stream-config file (io/streams.py);
+    # overrides default_streams when `streams` is empty
+    iodef_file: str = ""
 
 
 @dataclass(frozen=True)

@@ -90,12 +90,23 @@ class Stream:
     <file> element equivalent).  ``split_freq_days`` reproduces XIOS's
     split_freq (run/iodef.xml:88: daily file splitting): when set, each
     split window is written to its own ``<name>_<start-day>.nc`` as soon
-    as the window closes, bounding host memory to one window's records."""
+    as the window closes, bounding host memory to one window's records.
+
+    ``entries`` supports the full iodef <field> form — (output name,
+    source field, operation) triples, so one file can mix operations and
+    rename fields (e.g. T -> T_inst, run/iodef.xml:92).  When unset,
+    ``fields`` x ``reduction`` applies to every field uniformly."""
     name: str
     reduction: str                    # instant | average | minimum | maximum
     freq: int                         # output every `freq` ocean steps
     fields: Tuple[str, ...] = DEPTH_FIELDS + SURFACE_FIELDS
     split_freq_days: Optional[float] = None
+    entries: Optional[Tuple[Tuple[str, str, str], ...]] = None
+
+    def resolved_entries(self) -> Tuple[Tuple[str, str, str], ...]:
+        if self.entries is not None:
+            return self.entries
+        return tuple((f, f, self.reduction) for f in self.fields)
 
 
 class DiagnosticsManager:
@@ -133,25 +144,27 @@ class DiagnosticsManager:
         self._pending = []
         self._plock = threading.Lock()
 
-        @partial(jax.jit, static_argnames=("reduction",))
-        def _update(accum, fields, reduction):
-            op = {"average": jnp.add, "minimum": jnp.minimum,
-                  "maximum": jnp.maximum}.get(reduction)
-            if op is None:            # instant
-                return fields
-            return {k: op(accum[k], v) for k, v in fields.items()}
+        @partial(jax.jit, static_argnames=("ops",))
+        def _update(accum, fields, ops):
+            fns = {"average": jnp.add, "minimum": jnp.minimum,
+                   "maximum": jnp.maximum}
+            opmap = dict(ops)
+            return {k: v if opmap[k] not in fns else fns[opmap[k]](accum[k], v)
+                    for k, v in fields.items()}
         self._update_fn = _update
 
     def step(self, nt: int, st: State, prm: ColumnParams, frc: Forcing):
         fields = extract_fields(st, prm, frc)
         for s in self.streams:
-            sub = {k: fields[k] for k in s.fields}
+            ents = s.resolved_entries()
+            sub = {out: fields[src] for out, src, _ in ents}
             if self._accum[s.name] is None:
                 self._accum[s.name] = sub
                 self._count[s.name] = 1
             else:
+                ops = tuple((out, op) for out, _, op in ents)
                 self._accum[s.name] = self._update_fn(
-                    self._accum[s.name], sub, s.reduction)
+                    self._accum[s.name], sub, ops)
                 self._count[s.name] += 1
             if nt % s.freq == 0:
                 self._emit(s, nt)
@@ -169,16 +182,17 @@ class DiagnosticsManager:
                 self._write_split(s)
             self._split_idx[s.name] = k
         # keep device arrays; the fetch/normalize happens on the writer
-        self._records[s.name].append((t, (acc, cnt, s.reduction)))
+        ops = {out: op for out, _, op in s.resolved_entries()}
+        self._records[s.name].append((t, (acc, cnt, ops)))
         self._accum[s.name] = None
         self._count[s.name] = 0
 
     def _materialize(self, packed):
-        acc, cnt, reduction = packed
+        acc, cnt, ops = packed
         rec = {}
         for k, v in acc.items():
             a = np.asarray(v)
-            if reduction == "average":
+            if ops[k] == "average":
                 a = a / cnt
             if self.mask is not None:
                 a = a.copy()
@@ -226,9 +240,24 @@ class DiagnosticsManager:
             fname = f"{s.name}.nc"
         path = os.path.join(self.outdir, fname)
         os.makedirs(self.outdir, exist_ok=True)
+        # self-describing time metadata: XIOS stamps a Gregorian calendar
+        # with origin 0000-01-01 + (day-counter + 1) days
+        # (mckpp_xios_io.F90:41,63); "days since 0000-01-02" makes a CF
+        # decode of our raw day-counter values land on the same dates.
+        var_attrs = {
+            "time": {"units": "days since 0000-01-02 00:00:00",
+                     "calendar": "gregorian", "axis": "T",
+                     "standard_name": "time"},
+            "z": {"units": "m", "positive": "up", "axis": "Z",
+                  "long_name": "depth of model levels"},
+        }
+        if self.mask is not None:
+            for name in fields:
+                var_attrs[name] = {"_FillValue": FILL_VALUE}
         ncio.write_fields(path, dims, coords, fields,
                           attrs={"reduction": s.reduction.encode(),
-                                 "fill_value": FILL_VALUE})
+                                 "fill_value": FILL_VALUE},
+                          var_attrs=var_attrs)
         with self._plock:
             self.paths[fname if s.split_freq_days else s.name] = path
         return path

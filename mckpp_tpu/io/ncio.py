@@ -86,25 +86,36 @@ def get_time_axis(nc, names=("time", "t")) -> np.ndarray:
 
 
 def write_fields(path: str, dims: dict, coords: dict, fields: dict,
-                 attrs: Optional[dict] = None):
+                 attrs: Optional[dict] = None,
+                 var_attrs: Optional[dict] = None):
     """Write a NetCDF3 file: dims {name: size or None (unlimited)},
-    coords {name: (dimname, values)}, fields {name: (dims-tuple, array)}.
+    coords {name: (dimname, values)}, fields {name: (dims-tuple, array)},
+    var_attrs {varname: {attname: str|float}} per-variable attributes
+    (e.g. time units/calendar, the XIOS calendar metadata analog of
+    mckpp_xios_io.F90:40-46).
 
     Prefers the native C++ streaming encoder (mckpp_tpu/native/ncwriter.cc,
     the XIOS-analog output component) and falls back to scipy's pure-Python
     writer when the toolchain is unavailable or MCKPP_NO_NATIVE is set."""
     from .. import native
-    if native.write_fields_native(path, dims, coords, fields, attrs):
+    if native.write_fields_native(path, dims, coords, fields, attrs,
+                                  var_attrs):
         return
     with netcdf_file(path, "w", mmap=False) as nc:
+        def set_var_attrs(v, name):
+            for k, val in ((var_attrs or {}).get(name) or {}).items():
+                setattr(v, k, val.encode() if isinstance(val, str) else val)
+
         for name, size in dims.items():
             nc.createDimension(name, size)
         for name, (dim, vals) in coords.items():
             v = nc.createVariable(name, "d", (dim,))
             v[:] = np.asarray(vals, dtype=np.float64)
+            set_var_attrs(v, name)
         for name, (fdims, arr) in fields.items():
             v = nc.createVariable(name, "d", tuple(fdims))
             v[:] = np.asarray(arr, dtype=np.float64)
+            set_var_attrs(v, name)
         if attrs:
             for k, val in attrs.items():
                 setattr(nc, k, val)

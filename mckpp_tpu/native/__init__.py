@@ -72,6 +72,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_int),
                                     ctypes.c_void_p]
+    lib.ncw_var_att_text.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_char_p, ctypes.c_char_p]
+    lib.ncw_var_att_double.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_char_p, ctypes.c_double]
     lib.ncw_close.restype = ctypes.c_longlong
     lib.ncw_close.argtypes = [ctypes.c_void_p]
     return lib
@@ -95,7 +99,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def write_fields_native(path: str, dims: dict, coords: dict, fields: dict,
-                        attrs: Optional[dict] = None) -> bool:
+                        attrs: Optional[dict] = None,
+                        var_attrs: Optional[dict] = None) -> bool:
     """Encode a write_fields-shaped payload with the C++ encoder.
 
     Returns True on success; False means the caller should fall back to the
@@ -123,9 +128,15 @@ def write_fields_native(path: str, dims: dict, coords: dict, fields: dict,
             a = np.ascontiguousarray(arr, dtype="<f8")
             keep.append(a)
             ids = (ctypes.c_int * len(fdims))(*[dim_ids[d] for d in fdims])
-            return lib.ncw_def_var_f64(
-                h, name.encode(), len(fdims), ids,
-                a.ctypes.data_as(ctypes.c_void_p)) >= 0
+            vid = lib.ncw_def_var_f64(h, name.encode(), len(fdims), ids,
+                                      a.ctypes.data_as(ctypes.c_void_p))
+            for k, val in ((var_attrs or {}).get(name) or {}).items():
+                if isinstance(val, (bytes, str)):
+                    v = val if isinstance(val, bytes) else val.encode()
+                    lib.ncw_var_att_text(h, vid, k.encode(), v)
+                else:
+                    lib.ncw_var_att_double(h, vid, k.encode(), float(val))
+            return vid >= 0
 
         for name, (dim, vals) in coords.items():
             ok &= def_var(name, (dim,), vals)

@@ -49,6 +49,7 @@ struct Att {
 struct Var {
   std::string name;
   std::vector<int32_t> dimids;
+  std::vector<Att> atts;
   const double* data;  // borrowed; owner keeps it alive until ncw_close
   int64_t nelems;
   int64_t begin;
@@ -74,17 +75,23 @@ int64_t att_bytes(const Att& a) {
   return name_bytes(a.name) + 4 + 4 + vals;
 }
 
+int64_t att_list_bytes(const std::vector<Att>& atts) {
+  int64_t n = 8;  // tag + count
+  for (const auto& a : atts) n += att_bytes(a);
+  return n;
+}
+
 int64_t var_header_bytes(const Var& v) {
-  // name, ndims, dimids, vatt_list(ABSENT=8), nc_type, vsize, begin(8: v2)
-  return name_bytes(v.name) + 4 + 4 * (int64_t)v.dimids.size() + 8 + 4 + 4 + 8;
+  // name, ndims, dimids, vatt_list, nc_type, vsize, begin(8: v2)
+  return name_bytes(v.name) + 4 + 4 * (int64_t)v.dimids.size() +
+         att_list_bytes(v.atts) + 4 + 4 + 8;
 }
 
 int64_t header_bytes(const Writer& w) {
   int64_t n = 4 + 4;  // magic + numrecs
   n += 8;             // dim_list tag + count
   for (const auto& d : w.dims) n += name_bytes(d.name) + 4;
-  n += 8;  // gatt_list tag + count
-  for (const auto& a : w.atts) n += att_bytes(a);
+  n += att_list_bytes(w.atts);  // gatt_list
   n += 8;  // var_list tag + count
   for (const auto& v : w.vars) n += var_header_bytes(v);
   return n;
@@ -121,6 +128,25 @@ struct Out {
     bytes(zeros, padded(s.size()) - (int64_t)s.size());
   }
 };
+
+void write_att_list(Out& out, const std::vector<Att>& atts) {
+  out.i32(atts.empty() ? 0 : NC_ATTRIBUTE);
+  out.i32((int32_t)atts.size());
+  for (const auto& a : atts) {
+    out.name(a.name);
+    if (a.is_text) {
+      out.i32(NC_CHAR);
+      out.i32((int32_t)a.text.size());
+      out.bytes(a.text.data(), a.text.size());
+      static const char zeros[4] = {0, 0, 0, 0};
+      out.bytes(zeros, padded(a.text.size()) - (int64_t)a.text.size());
+    } else {
+      out.i32(NC_DOUBLE);
+      out.i32(1);
+      out.f64(a.value);
+    }
+  }
+}
 
 // Stream-byteswap a double array to the file through a bounded buffer.
 bool write_swapped(Out& out, const double* data, int64_t nelems) {
@@ -167,6 +193,24 @@ void ncw_att_double(void* h, const char* name, double value) {
   static_cast<Writer*>(h)->atts.push_back({name, false, "", value});
 }
 
+void ncw_var_att_text(void* h, int varid, const char* name, const char* value) {
+  Writer* w = static_cast<Writer*>(h);
+  if (varid < 0 || varid >= (int)w->vars.size()) {
+    w->failed = true;
+    return;
+  }
+  w->vars[(size_t)varid].atts.push_back({name, true, value, 0.0});
+}
+
+void ncw_var_att_double(void* h, int varid, const char* name, double value) {
+  Writer* w = static_cast<Writer*>(h);
+  if (varid < 0 || varid >= (int)w->vars.size()) {
+    w->failed = true;
+    return;
+  }
+  w->vars[(size_t)varid].atts.push_back({name, false, "", value});
+}
+
 int ncw_def_var_f64(void* h, const char* name, int ndims, const int* dimids,
                     const double* data) {
   Writer* w = static_cast<Writer*>(h);
@@ -207,30 +251,14 @@ long long ncw_close(void* h) {
         out.name(d.name);
         out.i32((int32_t)d.len);
       }
-      out.i32(w->atts.empty() ? 0 : NC_ATTRIBUTE);
-      out.i32((int32_t)w->atts.size());
-      for (const auto& a : w->atts) {
-        out.name(a.name);
-        if (a.is_text) {
-          out.i32(NC_CHAR);
-          out.i32((int32_t)a.text.size());
-          out.bytes(a.text.data(), a.text.size());
-          static const char zeros[4] = {0, 0, 0, 0};
-          out.bytes(zeros, padded(a.text.size()) - (int64_t)a.text.size());
-        } else {
-          out.i32(NC_DOUBLE);
-          out.i32(1);
-          out.f64(a.value);
-        }
-      }
+      write_att_list(out, w->atts);
       out.i32(w->vars.empty() ? 0 : NC_VARIABLE);
       out.i32((int32_t)w->vars.size());
       for (const auto& v : w->vars) {
         out.name(v.name);
         out.i32((int32_t)v.dimids.size());
         for (int32_t d : v.dimids) out.i32(d);
-        out.i32(0);  // vatt_list ABSENT
-        out.i32(0);
+        write_att_list(out, v.atts);
         out.i32(NC_DOUBLE);
         int64_t vsize = padded(v.nelems * 8);
         out.i32(vsize <= 0x7FFFFFFF ? (int32_t)vsize : (int32_t)0x7FFFFFFF);
