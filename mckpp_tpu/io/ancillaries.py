@@ -103,59 +103,81 @@ class AncillaryReader:
             self.nz_in = len(nc.variables["z"][:])
         self._init = True
 
-    def _read2d_uncached(self, var: str, pos: int) -> np.ndarray:
+    def _yspan(self, rows):
+        """Flat row range [lo, hi) -> (y0, y1, trim-slice) in domain rows.
+
+        Host-local reads (multi-host: each process reads only its slab of
+        columns, the MPI-decomposition analog of SURVEY §2.6) fetch the
+        covering y rows and trim to the exact flat range."""
+        lo, hi = rows
+        if hi <= lo:
+            return 0, 0, slice(0, 0)
+        y0, y1 = lo // self.nx, (hi - 1) // self.nx + 1
+        return y0, y1, slice(lo - y0 * self.nx, hi - y0 * self.nx)
+
+    def _read2d_uncached(self, var: str, pos: int, rows=None) -> np.ndarray:
         with ncio.open_nc(self.path) as nc:
             if not self._init:
                 self._initialize(nc)
             olon, olat = self.offsets
-            data = ncio.get_var(nc, var)[pos,
-                                         olat:olat + self.ny,
-                                         olon:olon + self.nx]
-        return data.reshape(-1)
+            y0, y1, trim = (0, self.ny, slice(None)) if rows is None \
+                else self._yspan(rows)
+            data = ncio.get_var(nc, var,
+                                index=(pos,
+                                       slice(olat + y0, olat + y1),
+                                       slice(olon, olon + self.nx)))
+        return data.reshape(-1)[trim]
 
-    def read2d(self, var: str, pos: int) -> np.ndarray:
-        """(npts,) slab at time index pos (file layout (t, y, x))."""
+    def read2d(self, var: str, pos: int, rows=None) -> np.ndarray:
+        """(npts,) slab at time index pos (file layout (t, y, x));
+        ``rows=(lo, hi)`` reads only that flat-index range."""
         with self._cache_lock:
-            hit = self._cache.pop(("2d", var, pos), None)
+            hit = self._cache.pop(("2d", var, pos, rows), None)
         if hit is not None:
             self.cache_hits += 1
             return hit
-        return self._read2d_uncached(var, pos)
+        return self._read2d_uncached(var, pos, rows)
 
-    def _read3d_uncached(self, var: str, pos: int, nzp1: int) -> np.ndarray:
+    def _read3d_uncached(self, var: str, pos: int, nzp1: int,
+                         rows=None) -> np.ndarray:
         with ncio.open_nc(self.path) as nc:
             if not self._init:
                 self._initialize(nc)
             olon, olat = self.offsets
-            data = ncio.get_var(nc, var)[pos, :,
-                                         olat:olat + self.ny,
-                                         olon:olon + self.nx]
+            y0, y1, trim = (0, self.ny, slice(None)) if rows is None \
+                else self._yspan(rows)
+            data = ncio.get_var(nc, var,
+                                index=(pos, slice(None),
+                                       slice(olat + y0, olat + y1),
+                                       slice(olon, olon + self.nx)))
         nz_in = data.shape[0]
         if nz_in != nzp1:
             raise ncio.NetCDFError(
                 f"{self.path}:{var} has {nz_in} levels, expected {nzp1}")
-        return np.moveaxis(data, 0, -1).reshape(-1, nzp1)
+        return np.moveaxis(data, 0, -1).reshape(-1, nzp1)[trim]
 
-    def read3d(self, var: str, pos: int, nzp1: int) -> np.ndarray:
-        """(npts, nzp1) slab at time index pos (file layout (t, z, y, x))."""
+    def read3d(self, var: str, pos: int, nzp1: int, rows=None) -> np.ndarray:
+        """(npts, nzp1) slab at time index pos (file layout (t, z, y, x));
+        ``rows=(lo, hi)`` reads only that flat-index range."""
         with self._cache_lock:
-            hit = self._cache.pop(("3d", var, pos, nzp1), None)
+            hit = self._cache.pop(("3d", var, pos, nzp1, rows), None)
         if hit is not None:
             self.cache_hits += 1
             return hit
-        return self._read3d_uncached(var, pos, nzp1)
+        return self._read3d_uncached(var, pos, nzp1, rows)
 
     def prefetch(self, kind: str, var: str, pos: int,
-                 nzp1: Optional[int] = None) -> None:
+                 nzp1: Optional[int] = None, rows=None) -> None:
         """Read a slab into the cache (runs on the prefetcher thread).
         The cached bytes are exactly what the synchronous read would
         produce, so consuming them cannot change results."""
-        key = ("2d", var, pos) if kind == "2d" else ("3d", var, pos, nzp1)
+        key = (("2d", var, pos, rows) if kind == "2d"
+               else ("3d", var, pos, nzp1, rows))
         with self._cache_lock:
             if key in self._cache:
                 return
-        data = (self._read2d_uncached(var, pos) if kind == "2d"
-                else self._read3d_uncached(var, pos, nzp1))
+        data = (self._read2d_uncached(var, pos, rows) if kind == "2d"
+                else self._read3d_uncached(var, pos, nzp1, rows))
         with self._cache_lock:
             # bound the cache: one (newest) entry per (kind, var).  If a
             # prefetch loses the race with the synchronous read (short
@@ -172,27 +194,41 @@ class AncillaryReader:
         return self.file_times
 
 
-def _kelvin_to_celsius(a: np.ndarray) -> np.ndarray:
-    if np.any((a > 200.0) & (a < 400.0)):
-        return a - c.TK0
-    return a
-
-
 class FluxFileReader:
     """Forcing-file reader (mckpp_read_fluxes_mod.F90): taux, tauy, swf,
-    lwf, lhf, shf, precip at the ndtocn cadence; snow = 0."""
+    lwf, lhf, shf, precip at the ndtocn cadence; snow = 0.
+
+    With a ColumnLayout attached (multi-host), each process reads only its
+    own slab of rows and feeds only its own devices — the fluxes are the
+    most frequent ancillary read (every ndtocn steps), so host-local reads
+    matter most here."""
 
     def __init__(self, cfg: KppConfig, lon0: float, lat0: float):
         d = cfg.domain
         self.cfg = cfg
+        self.npts = d.nx * d.ny
+        self.layout = None
         self.rd = AncillaryReader(cfg.forcing.forcing_file, lon0, lat0,
                                   d.nx, d.ny, time_name="time")
+
+    def set_layout(self, layout) -> None:
+        self.layout = layout
 
     def __call__(self, time_days: float) -> forcing_mod.RawFluxes:
         t = self.cfg.time
         _, pos = get_update_time(time_days, t.ndtocn, self.rd.times(),
                                  False, 0, t.dto, t.dtsec, method=1)
-        g = lambda v: jnp.asarray(self.rd.read2d(v, pos))
+        if self.layout is None:
+            g = lambda v: jnp.asarray(self.rd.read2d(v, pos))
+        else:
+            lo, hi = self.layout.local_rows(self.npts)
+            want = self.layout.hi - self.layout.lo
+
+            def g(v):
+                a = self.rd.read2d(v, pos, (lo, hi))
+                if a.shape[0] < want:
+                    a = np.pad(a, (0, want - a.shape[0]))
+                return self.layout.global_array(a, local=True)
         taux = g("taux")
         return forcing_mod.RawFluxes(
             taux=taux, tauy=g("tauy"), swf=g("swf"), lwf=g("lwf"),
@@ -238,14 +274,68 @@ class BoundaryManager:
         self._prefetch_futs: list = []
 
     def set_layout(self, layout) -> None:
-        """Attach a parallel.distributed.ColumnLayout (or None)."""
+        """Attach a parallel.distributed.ColumnLayout (or None).  With a
+        layout, every ancillary read fetches only this process's slab of
+        rows (host-local reads — the per-rank block an MPI decomposition
+        would own, SURVEY §2.6) and feeds only this host's devices."""
         self.layout = layout
 
+    def _rows(self):
+        """This process's flat row range [lo, hi) clamped to the unpadded
+        domain; None when no layout is attached (read the whole domain)."""
+        if self.layout is None:
+            return None
+        return self.layout.local_rows(self.npts)
+
+    @property
+    def npts(self) -> int:
+        return self.cfg.domain.nx * self.cfg.domain.ny
+
+    def _pad_local(self, arr: np.ndarray) -> np.ndarray:
+        """Zero-pad a local slab up to the layout's padded slab width
+        (rows beyond the domain are padding columns)."""
+        want = self.layout.hi - self.layout.lo
+        if arr.shape[0] == want:
+            return arr
+        return np.pad(arr, [(0, want - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1))
+
+    def _get2d(self, reader, var, pos):
+        rows = self._rows()
+        if rows is None:
+            return reader.read2d(var, pos)
+        return self._pad_local(reader.read2d(var, pos, rows))
+
+    def _get3d(self, reader, var, pos):
+        rows = self._rows()
+        if rows is None:
+            return reader.read3d(var, pos, self.nzp1)
+        return self._pad_local(reader.read3d(var, pos, self.nzp1, rows))
+
+    def _local_sref(self) -> np.ndarray:
+        """Sref rows matching what _get3d returned (full domain, or this
+        process's zero-padded slab)."""
+        rows = self._rows()
+        if rows is None:
+            return self.sref
+        return self._pad_local(self.sref[rows[0]:rows[1]])
+
+    def _kelvin(self, a: np.ndarray) -> np.ndarray:
+        """Kelvin autoconversion with the detection made domain-global
+        (the reference evaluates ANY() over the whole domain,
+        mckpp_read_sst_mod.F90:84-88; a host-local slab must not decide
+        differently from its peers)."""
+        from ..parallel.distributed import any_across_processes
+        local = bool(np.any((a > 200.0) & (a < 400.0)))
+        if any_across_processes(local):
+            return a - c.TK0
+        return a
+
     def _dev(self, arr):
-        """Host array -> device array honoring the column layout."""
+        """Host array -> device array honoring the column layout.  With a
+        layout attached, reads are host-local slabs (see _get2d/_get3d)."""
         if self.layout is None:
             return jnp.asarray(arr)
-        return self.layout.global_array(np.asarray(arr))
+        return self.layout.global_array(np.asarray(arr), local=True)
 
     # ---- individual reads -------------------------------------------------
     def _upd(self, reader, ndt, periodic, period, method):
@@ -257,7 +347,7 @@ class BoundaryManager:
         f, b = self.cfg.forcing, self.cfg.boundary
         _, pos = self._upd(self.sst, b.ndtupdsst, b.l_periodic_climsst,
                            b.climsst_period, 1)
-        sst = _kelvin_to_celsius(self.sst.read2d("sst", pos))
+        sst = self._kelvin(self._get2d(self.sst, "sst", pos))
         # uncoupled: SST0 is the (ifirst=jfirst=1) slice = the whole domain
         # (mckpp_physics_overrides_sst0)
         frc = dataclasses.replace(frc, sst0=self._dev(sst))
@@ -277,13 +367,13 @@ class BoundaryManager:
         _, pos = self._upd(self.ice, b.ndtupdice, b.l_periodic_climice,
                            b.climice_period, 1)
         frc = dataclasses.replace(
-            frc, iceconc=self._dev(self.ice.read2d("iceconc", pos)))
+            frc, iceconc=self._dev(self._get2d(self.ice, "iceconc", pos)))
         if b.l_clim_ice_depth:
             frc = dataclasses.replace(
-                frc, icedepth=self._dev(self.ice.read2d("icedepth", pos)))
+                frc, icedepth=self._dev(self._get2d(self.ice, "icedepth", pos)))
         if b.l_clim_snow_on_ice:
             frc = dataclasses.replace(
-                frc, snowdepth=self._dev(self.ice.read2d("snowdepth", pos)))
+                frc, snowdepth=self._dev(self._get2d(self.ice, "snowdepth", pos)))
         return frc
 
     def read_fcorr(self, frc: Forcing) -> Forcing:
@@ -291,11 +381,11 @@ class BoundaryManager:
         if f.l_fcorr_withz:
             _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
                                f.fcorr_period, 1)
-            fz = self.fcorr.read3d("fcorr", pos, self.nzp1)
+            fz = self._get3d(self.fcorr, "fcorr", pos)
             return dataclasses.replace(frc, fcorr_withz=self._dev(fz))
         _, pos = self._upd(self.fcorr, f.ndtupdfcorr, f.l_periodic_fcorr,
                            f.fcorr_period, 2)
-        f2 = self.fcorr.read2d("fcorr", pos)
+        f2 = self._get2d(self.fcorr, "fcorr", pos)
         return dataclasses.replace(frc, fcorr_twod=self._dev(f2))
 
     def read_sfcorr(self, frc: Forcing) -> Forcing:
@@ -303,18 +393,18 @@ class BoundaryManager:
         if f.l_sfcorr_withz:
             _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr,
                                f.l_periodic_sfcorr, f.sfcorr_period, 1)
-            sz = self.sfcorr.read3d("sfcorr", pos, self.nzp1)
+            sz = self._get3d(self.sfcorr, "sfcorr", pos)
             return dataclasses.replace(frc, sfcorr_withz=self._dev(sz))
         _, pos = self._upd(self.sfcorr, f.ndtupdsfcorr, f.l_periodic_sfcorr,
                            f.sfcorr_period, 2)
-        s2 = self.sfcorr.read2d("sfcorr", pos)
+        s2 = self._get2d(self.sfcorr, "sfcorr", pos)
         return dataclasses.replace(frc, sfcorr_twod=self._dev(s2))
 
     def read_bottom(self, frc: Forcing) -> Forcing:
         f = self.cfg.forcing
         _, pos = self._upd(self.bottom, f.ndtupdbottom,
                            f.l_periodic_bottom_temp, f.bottom_temp_period, 1)
-        bt = _kelvin_to_celsius(self.bottom.read2d("T", pos))
+        bt = self._kelvin(self._get2d(self.bottom, "T", pos))
         return dataclasses.replace(frc, bottom_temp=self._dev(bt))
 
     def read_ocnt(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
@@ -327,7 +417,7 @@ class BoundaryManager:
                                f.ocnt_period, 2)
         finally:
             self._time = saved
-        t3 = self.ocnt.read3d("temperature", pos, self.nzp1)
+        t3 = self._get3d(self.ocnt, "temperature", pos)
         return dataclasses.replace(frc, ocnt_clim=self._dev(t3))
 
     def read_sal(self, frc: Forcing, at_time: Optional[float] = None) -> Forcing:
@@ -340,7 +430,8 @@ class BoundaryManager:
                                f.sal_period, 2)
         finally:
             self._time = saved
-        s3 = self.sal.read3d("salinity", pos, self.nzp1) - self.sref[:, None]
+        s3 = self._get3d(self.sal, "salinity", pos) \
+            - self._local_sref()[:, None]
         return dataclasses.replace(frc, sal_clim=self._dev(s3))
 
     # ---- time interpolation (mckpp_boundary_interpolate.F90) -------------
@@ -489,12 +580,15 @@ class BoundaryManager:
                 max_workers=1, thread_name_prefix="ancprefetch")
         t = self.cfg.time
 
+        rows = self._rows()
+
         def run(reader, kind, var, ndt, periodic, period, method, when):
             try:
                 _, pos = get_update_time(when, ndt, reader.times(), periodic,
                                          period, t.dto, t.dtsec, method=method)
                 reader.prefetch(kind, var, pos,
-                                self.nzp1 if kind == "3d" else None)
+                                self.nzp1 if kind == "3d" else None,
+                                rows=rows)
             except Exception:
                 # the synchronous read raises the real, contextful error
                 pass

@@ -22,7 +22,8 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional
+from functools import cached_property
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,36 +77,81 @@ class ColumnLayout:
     def n_devices(self) -> int:
         return int(np.prod(self.mesh.devices.shape))
 
+    @cached_property
+    def _local_slab(self) -> Tuple[int, int]:
+        """This process's [lo, hi) of the padded column axis, derived from
+        the sharding's actual device->index map (NOT assumed): the union of
+        the addressable devices' shards, verified to be one contiguous
+        slab.  Guards against device orderings where a process's shards
+        would not be contiguous — host-local reads would silently scatter
+        the wrong rows."""
+        imap = self.sharding.devices_indices_map((self.ncol,))
+        spans = sorted(
+            ((imap[d][0].start or 0,
+              self.ncol if imap[d][0].stop is None else imap[d][0].stop)
+             for d in self.sharding.addressable_devices))
+        lo, pos = spans[0][0], spans[0][0]
+        for a, b in spans:
+            if a != pos:
+                raise ValueError(
+                    f"process {jax.process_index()}: addressable shards "
+                    f"{spans} are not one contiguous slab; host-local "
+                    "ancillary reads require contiguous per-process shards")
+            pos = b
+        return lo, pos
+
     @property
     def lo(self) -> int:
-        return self.ncol // jax.process_count() * jax.process_index()
+        return self._local_slab[0]
 
     @property
     def hi(self) -> int:
-        return self.ncol // jax.process_count() * (jax.process_index() + 1)
+        return self._local_slab[1]
 
-    def global_array(self, arr) -> jax.Array:
+    def global_array(self, arr, local: Optional[bool] = None) -> jax.Array:
         """Build the globally sharded device array from host data.
 
-        Accepts either the full ``(ncol, ...)`` array (every host read the
-        whole slab — single-process path, or small ancillaries) or just this
-        host's ``(hi-lo, ...)`` slice (host-local reads).  Host rows not
-        owned by this process are ignored.
+        ``local=True``: ``arr`` is this host's ``(hi-lo, ...)`` slab
+        (host-local reads).  ``local=False``: ``arr`` is the full domain,
+        padded ``(ncol, ...)`` or unpadded ``(ncol_unpadded, ...)`` (the
+        padding columns are zero-filled).  ``local=None`` infers from the
+        shape, raising if ambiguous — callers on the multi-host path
+        should always pass it explicitly.
         """
         a = np.asarray(arr)
-        if a.shape[0] not in (self.ncol, self.hi - self.lo):
-            # unpadded full array: pad the trailing columns with zeros
-            if a.shape[0] == self.ncol_unpadded:
+        want_local = self.hi - self.lo
+        if local is None:
+            is_local = a.shape[0] == want_local \
+                and a.shape[0] not in (self.ncol, self.ncol_unpadded)
+            is_full = a.shape[0] in (self.ncol, self.ncol_unpadded)
+            if is_full and a.shape[0] == want_local \
+                    and jax.process_count() > 1:
+                raise ValueError(
+                    f"global_array: leading dim {a.shape[0]} is both a "
+                    "valid local slab and a valid full domain; pass "
+                    "local=True/False explicitly")
+            local = is_local
+        if local:
+            if a.shape[0] != want_local:
+                raise ValueError(
+                    f"global_array(local=True): got leading dim "
+                    f"{a.shape[0]}, expected {want_local}")
+            loc = a
+        else:
+            if a.shape[0] == self.ncol_unpadded and a.shape[0] != self.ncol:
                 pad = [(0, self.ncol - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
                 a = np.pad(a, pad)
-            else:
+            elif a.shape[0] != self.ncol:
                 raise ValueError(
                     f"global_array: got leading dim {a.shape[0]}, expected "
-                    f"{self.ncol} (global) or {self.hi - self.lo} (local)")
+                    f"{self.ncol} (padded), {self.ncol_unpadded} "
+                    f"(unpadded) or {want_local} with local=True")
+            loc = a[self.lo:self.hi]
         if jax.process_count() == 1:
-            return jax.device_put(jnp.asarray(a), self.sharding)
-        local = a if a.shape[0] == self.hi - self.lo else a[self.lo:self.hi]
-        return jax.make_array_from_process_local_data(self.sharding, local)
+            # with one process the local slab IS the full domain
+            return jax.device_put(jnp.asarray(loc if local else a),
+                                  self.sharding)
+        return jax.make_array_from_process_local_data(self.sharding, loc)
 
     def shard_tree(self, tree):
         """Pad + place a column-batched pytree on the mesh.  Padded columns
@@ -124,6 +170,24 @@ class ColumnLayout:
 
     def gather_tree(self, tree):
         return jax.tree_util.tree_map(self.gather, tree)
+
+    def local_rows(self, npts: int) -> Tuple[int, int]:
+        """This process's slab clamped to the unpadded domain [0, npts) —
+        the rows a host-local ancillary read should fetch."""
+        return min(self.lo, npts), min(self.hi, npts)
+
+
+def any_across_processes(flag: bool) -> bool:
+    """Logical OR of a host-side boolean over all processes.  Used for
+    decisions that must be domain-global but are detected on host-local
+    slabs (e.g. the SST Kelvin-autoconvert heuristic,
+    mckpp_read_sst_mod.F90:75-82, which the reference evaluates over the
+    whole domain, mckpp_read_sst_mod.F90:84-88)."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(np.asarray([bool(flag)]))
+    return bool(np.any(flags))
 
 
 def make_layout(ncol_unpadded: int, mesh: Optional[Mesh] = None) -> ColumnLayout:
