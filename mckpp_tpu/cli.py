@@ -67,6 +67,7 @@ def main(argv=None):
     step_fn = model.step
     unpad = lambda tree: tree
     l_ocean_np = np.asarray(prm.l_ocean)       # unpadded output-domain mask
+    layout = None
     if (args.multi_device or args.distributed) and len(jax.devices()) > 1:
         mesh = shard.make_mesh()
         layout = dist.make_layout(ncol, mesh)
@@ -83,11 +84,16 @@ def main(argv=None):
         unpad = layout.gather_tree
 
         if flux_provider is not None:
-            inner_provider = flux_provider
+            if hasattr(flux_provider, "set_layout"):
+                # host-local slab reads: the provider shards its own output
+                flux_provider.set_layout(layout)
+            else:
+                inner_provider = flux_provider
 
-            def flux_provider(time_days):
-                raw = inner_provider(time_days)
-                return jax.tree_util.tree_map(layout.global_array, raw)
+                def flux_provider(time_days):
+                    raw = inner_provider(time_days)
+                    return jax.tree_util.tree_map(
+                        lambda a: layout.global_array(a, local=False), raw)
 
         mckpp_print(
             routine,
@@ -113,6 +119,8 @@ def main(argv=None):
         model.grid.zm, outdir=args.output_dir,
         start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto,
         l_ocean=l_ocean_np)
+    if layout is not None:
+        diag.set_layout(layout)
     restart = RestartControl(
         f"{args.output_dir}/{cfg.output.restart_outfile}",
         cfg.output.ndt_per_restart, cfg.time.num_timesteps,
@@ -140,10 +148,13 @@ def main(argv=None):
         st = step_fn(st, prm, frc, first_step=(nt <= 1))
         timers.stop("Physics")
         timers.start("Diagnostic output")
-        diag.step(nt, unpad(st), unpad(prm), unpad(frc))
+        # sharded runs feed the sharded trees straight in: reductions
+        # accumulate on device, the gather happens only when a window
+        # emits (no per-step cross-host transfers)
+        diag.step(nt, st, prm, frc)
         timers.stop("Diagnostic output")
         timers.start("Restart output")
-        if cfg.output.l_restartw:
+        if cfg.output.l_restartw and restart.due(nt):
             restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
         timers.stop("Restart output")
 

@@ -129,6 +129,13 @@ class DiagnosticsManager:
         # output-domain land mask (reference mask_1d, mckpp_xios_io.F90:58):
         # land columns are written as FILL_VALUE
         self.mask = None if l_ocean is None else ~np.asarray(l_ocean)
+        # ColumnLayout for sharded/multi-host runs (set_layout): step()
+        # then accumulates directly on the sharded device arrays (the
+        # reductions are elementwise, so they commute with the column
+        # sharding) and the host gather happens ONLY when a window emits —
+        # zero cross-host transfers on non-emitting steps (the
+        # XIOS-detached-server analog, run/iodef.xml:88)
+        self.layout = None
         self._accum: Dict[str, Optional[Dict[str, jax.Array]]] = {
             s.name: None for s in streams}
         self._count: Dict[str, int] = {s.name: 0 for s in streams}
@@ -152,9 +159,19 @@ class DiagnosticsManager:
             return {k: v if opmap[k] not in fns else fns[opmap[k]](accum[k], v)
                     for k, v in fields.items()}
         self._update_fn = _update
+        # jit the extraction: outputs are fresh buffers, so accumulators
+        # never alias a step-donated input buffer (the sharded step
+        # donates its state argument; an "instant" field held by
+        # reference would die at the next step otherwise)
+        self._extract_fn = jax.jit(extract_fields)
+
+    def set_layout(self, layout) -> None:
+        """Attach a parallel.distributed.ColumnLayout: step() may then be
+        fed the sharded (padded) trees directly."""
+        self.layout = layout
 
     def step(self, nt: int, st: State, prm: ColumnParams, frc: Forcing):
-        fields = extract_fields(st, prm, frc)
+        fields = self._extract_fn(st, prm, frc)
         for s in self.streams:
             ents = s.resolved_entries()
             sub = {out: fields[src] for out, src, _ in ents}
@@ -172,6 +189,11 @@ class DiagnosticsManager:
     def _emit(self, s: Stream, nt: int):
         acc = self._accum[s.name]
         cnt = self._count[s.name]
+        if self.layout is not None:
+            # the only gather in the sharded output path: synchronous (the
+            # cross-host allgather must not race the step loop's
+            # collectives from the writer thread), once per emitted window
+            acc = {k: self.layout.gather(v) for k, v in acc.items()}
         t = self.start + nt * self.dto_days
         # close the current split window first if this record starts a new
         # one (record time stamps the END of its reduction window, so the
@@ -208,6 +230,9 @@ class DiagnosticsManager:
             return None
         self._records[s.name] = []
         split_idx = self._split_idx[s.name]
+        if self.layout is not None and jax.process_count() > 1 \
+                and jax.process_index() != 0:
+            return None            # single writer: process 0 owns the files
         if self._writer is not None:
             self._pending.append(
                 self._writer.submit(self._encode, s, recs, split_idx))

@@ -188,8 +188,17 @@ class RestartControl:
         self.start = start_days
         self.written = []
 
+    def due(self, nt: int) -> bool:
+        """True when step nt writes a restart — callers on the sharded
+        path gate the (expensive) state gather on this, so non-writing
+        steps perform no cross-host transfers."""
+        return bool(self.cadence and nt % self.cadence == 0) or nt == self.last
+
     def maybe_write(self, nt: int, st, prm, frc):
-        if (self.cadence and nt % self.cadence == 0) or nt == self.last:
+        if self.due(nt):
+            import jax
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                return None        # single writer: process 0 owns the file
             t = self.start + (nt - 1) * self.dto / 86400.0
             p = save_restart(self.outfile, st, prm, frc, nt, t, self.dto)
             self.written.append(p)
