@@ -42,14 +42,32 @@ from . import ncio
 SPD = c.SPD
 
 
+def _nint(x: float) -> int:
+    """Fortran NINT: round half away from zero (Python's round() banks)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
 def get_update_time(time: float, ndt_update: int, file_times: np.ndarray,
                     periodic: bool, period: int, dto: float, dtsec: float,
                     method: int = 1):
     """Compute (update_time, 0-based record index); abort if absent.
 
-    Mirrors mckpp_get_update_time (mckpp_time_control.F90:71-167); the
-    record index falls back to a nearest-match on the wrapped time where the
-    reference's unwrapped-position arithmetic would run off the axis.
+    Mirrors mckpp_get_update_time (mckpp_time_control.F90:71-167):
+
+    * method 1 read-time = time + half the update period (:131-140);
+    * method 2 = floor-quantized integer arithmetic (:142-154);
+    * periodic wrap subtracts the period while beyond the last record
+      (:96-103); there is deliberately NO low-side wrap (the reference has
+      none — negative positions abort, as get_update_pos would index off
+      the front of the axis);
+    * the record index is the reference's position arithmetic
+      NINT((t - first)/upd) (:157-167) — evaluated on the WRAPPED
+      update_time, because the reference evaluates it on the raw model
+      time, which for wrapped periodic reads indexes past the end of the
+      axis and dies under bounds checking; the wrapped time is the only
+      well-defined extension.  Non-uniform axes fall back to a
+      nearest-match, and either way the result must match a file record
+      within 0.01*dtsec (:115-122) or we abort.
     """
     upd_days = ndt_update * dto / SPD
     if method == 2:
@@ -59,19 +77,26 @@ def get_update_time(time: float, ndt_update: int, file_times: np.ndarray,
     else:
         update_time = time + 0.5 * upd_days
 
-    if update_time > file_times[-1]:
+    tol = 0.01 * dtsec / SPD
+    # the wrap compare carries the validity tolerance: a read-time that is
+    # one float ulp above the last record must not wrap a whole period
+    # (the reference's strict > has the same intent in exact arithmetic)
+    if update_time > file_times[-1] + tol:
         if not periodic:
             raise ncio.NetCDFError(
                 f"time to read {update_time} exceeds the last time in the "
                 "file and periodic reads have not been specified")
-        while update_time > file_times[-1]:
+        while update_time > file_times[-1] + tol:
             update_time -= period
-
-    pos = int(np.argmin(np.abs(file_times - update_time)))
-    if abs(file_times[pos] - update_time) > 0.01 * dtsec / SPD:
-        raise ncio.NetCDFError(
-            f"cannot find time {update_time} in ancillary file "
-            f"(closest {file_times[pos]})")
+    pos = _nint((update_time - file_times[0]) / upd_days)
+    if not (0 <= pos < len(file_times)
+            and abs(file_times[pos] - update_time) <= tol):
+        near = int(np.argmin(np.abs(file_times - update_time)))
+        if abs(file_times[near] - update_time) > tol:
+            raise ncio.NetCDFError(
+                f"cannot find time {update_time} in ancillary file "
+                f"(closest {file_times[near]})")
+        pos = near
     return update_time, pos
 
 
