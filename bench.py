@@ -60,21 +60,34 @@ def main():
 
     model, st, prm, frc = ge._build(ncol=ncol, nz=nz, dtype=dtype)
 
-    step = jax.jit(lambda s: model._step(s, prm, frc, jnp.asarray(False)),
-                   donate_argnums=(0,))
-    # warmup / compile
-    st = step(st)
-    jax.block_until_ready(st)
-    st = step(st)
-    jax.block_until_ready(st)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    def time_step(with_diags):
+        nonlocal st
+        step = jax.jit(
+            lambda s: model._step(s, prm, frc, jnp.asarray(False),
+                                  with_diags=with_diags),
+            donate_argnums=(0,))
+        st = step(st)                  # warmup / compile
+        jax.block_until_ready(st)
         st = step(st)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            st = step(st)
+        jax.block_until_ready(st)
+        return time.perf_counter() - t0
 
+    dt = time_step(with_diags=True)
     colsteps_per_s = ncol * steps / dt
+    # secondary: the diagnostics-lazy step (bitwise-identical prognostic
+    # trajectory, materialization pass skipped — what steps cost when no
+    # output stream samples a wide field; see ops/ocnstep_fused.py)
+    dt_lazy = time_step(with_diags=False)
+    print(json.dumps({
+        "prognostic_only_column_steps_per_s": round(ncol * steps / dt_lazy, 1),
+        "full_step_ms": round(dt / steps * 1e3, 3),
+        "prognostic_step_ms": round(dt_lazy / steps * 1e3, 3),
+    }), file=sys.stderr)
+
     baseline = 2890.0
     print(json.dumps({
         "metric": "column_steps_per_s_per_chip",

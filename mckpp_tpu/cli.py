@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--iodef", default=None,
                    help="iodef.xml-style stream-config file (overrides the "
                         "namelist's IODEF_FILE)")
+    p.add_argument("--dtype", choices=["float64", "float32"], default=None,
+                   help="override precision: float64 = reference parity "
+                        "(the namelist default, -fdefault-real-8), "
+                        "float32 = TPU production mode")
     p.add_argument("--multi-device", action="store_true",
                    help="shard the column axis over all local devices")
     p.add_argument("--distributed", action="store_true",
@@ -54,6 +58,9 @@ def main(argv=None):
     timers = Timers()
     timers.start("Initialization")
     cfg, extras = nml.load_config(args.namelist)
+    if args.dtype:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, dtype=args.dtype)
     if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
         # the reference compiles with -fdefault-real-8; honor it rather than
         # silently truncating every array to f32
@@ -78,8 +85,9 @@ def main(argv=None):
         ncol = layout.ncol
         sharded = shard.make_sharded_step(model, mesh)
 
-        def step_fn(s, pr, fr, first_step=False):
-            return sharded(s, pr, fr, jnp.asarray(first_step))
+        def step_fn(s, pr, fr, first_step=False, with_diags=True):
+            return sharded(s, pr, fr, jnp.asarray(first_step),
+                           with_diags=with_diags)
 
         unpad = layout.gather_tree
 
@@ -145,7 +153,13 @@ def main(argv=None):
             frc = mgr.update(nt, time_days, frc)
             timers.stop("Update ancillaries")
         timers.start("Physics")
-        st = step_fn(st, prm, frc, first_step=(nt <= 1))
+        # steps where no output stream samples a wide diagnostic field
+        # (and no restart is due) skip the diagnostic-materialization
+        # pass — ~a full kernel pass saved per step (ocnstep_fused.py)
+        need_full = (diag.needs_full(nt)
+                     or (cfg.output.l_restartw and restart.due(nt)))
+        st = step_fn(st, prm, frc, first_step=(nt <= 1),
+                     with_diags=need_full)
         timers.stop("Physics")
         timers.start("Diagnostic output")
         # sharded runs feed the sharded trees straight in: reductions

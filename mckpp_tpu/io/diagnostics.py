@@ -83,6 +83,16 @@ def extract_fields(st: State, prm: ColumnParams, frc: Forcing) -> Dict[str, jax.
 
 FILL_VALUE = 1.0e20          # XIOS/netCDF default fill for masked points
 
+# fields that require the step's diagnostic-materialization pass (the wide
+# outputs of ops/ocnstep_fused.py's final full pass).  Everything else is
+# prognostic or refreshed every step elsewhere (state u/x/hmix, override
+# flags,
+# forcing inputs) and is valid even when the step ran with_diags=False.
+WIDE_FIELDS = frozenset({
+    "B", "wu", "wv", "wT", "wS", "wB", "wTnt", "difm", "dift", "difs",
+    "rho", "cp", "scorr", "Rig", "dbloc", "Shsq", "tinc_fcorr", "fcorr_z",
+    "sinc_fcorr", "fcorr"})
+
 
 @dataclasses.dataclass
 class Stream:
@@ -170,24 +180,51 @@ class DiagnosticsManager:
         fed the sharded (padded) trees directly."""
         self.layout = layout
 
+    def needs_full(self, nt: int) -> bool:
+        """Whether step ``nt`` must run with full diagnostic
+        materialization: true when any stream samples a WIDE field this
+        step — reducing (mean/min/max) entries sample every step, instant
+        entries only on their emit step.  Drives the model's
+        ``with_diags`` static flag (ops/ocnstep_fused.py)."""
+        for s in self.streams:
+            emit = nt % s.freq == 0
+            for _, src, op in s.resolved_entries():
+                if src in WIDE_FIELDS and (op != "instant" or emit):
+                    return True
+        return False
+
     def step(self, nt: int, st: State, prm: ColumnParams, frc: Forcing):
-        fields = self._extract_fn(st, prm, frc)
+        fields = None
         for s in self.streams:
             ents = s.resolved_entries()
-            sub = {out: fields[src] for out, src, _ in ents}
-            if self._accum[s.name] is None:
-                self._accum[s.name] = sub
-                self._count[s.name] = 1
-            else:
-                ops = tuple((out, op) for out, _, op in ents)
-                self._accum[s.name] = self._update_fn(
-                    self._accum[s.name], sub, ops)
-                self._count[s.name] += 1
-            if nt % s.freq == 0:
-                self._emit(s, nt)
+            red = tuple(e for e in ents if e[2] != "instant")
+            inst = tuple(e for e in ents if e[2] == "instant")
+            emit = nt % s.freq == 0
+            # instant entries are sampled only at their emit step (what
+            # XIOS's operation="instant" means) — non-emit steps with no
+            # reducing entries cost nothing at all
+            if not red and not emit:
+                continue
+            if fields is None:
+                fields = self._extract_fn(st, prm, frc)
+            if red:
+                sub = {out: fields[src] for out, src, _ in red}
+                if self._accum[s.name] is None:
+                    self._accum[s.name] = sub
+                    self._count[s.name] = 1
+                else:
+                    ops = tuple((out, op) for out, _, op in red)
+                    self._accum[s.name] = self._update_fn(
+                        self._accum[s.name], sub, ops)
+                    self._count[s.name] += 1
+            if emit:
+                self._emit(s, nt,
+                           {out: fields[src] for out, src, _ in inst})
 
-    def _emit(self, s: Stream, nt: int):
-        acc = self._accum[s.name]
+    def _emit(self, s: Stream, nt: int, instant_fields=None):
+        acc = dict(self._accum[s.name] or {})
+        if instant_fields:
+            acc.update(instant_fields)
         cnt = self._count[s.name]
         if self.layout is not None:
             # the only gather in the sharded output path: synchronous (the

@@ -67,7 +67,7 @@ class KppModel:
             self._fused_step = make_ocnstep_fused(
                 self.grid, cfg, self.dtype, impl=impl,
                 block=cfg.physics.pass_block)
-        self._step_jit = jax.jit(self._step)
+        self._step_jit = jax.jit(self._step, static_argnames=("with_diags",))
         self._init_jit = jax.jit(self._init_columns)
 
     def _resolve_pass_impl(self) -> str:
@@ -217,11 +217,17 @@ class KppModel:
     # ------------------------------------------------------------------
     # One ocean timestep (physics driver + overrides)
     # ------------------------------------------------------------------
-    def _step(self, st: State, prm: ColumnParams, frc: Forcing, first_step):
+    def _step(self, st: State, prm: ColumnParams, frc: Forcing, first_step,
+              with_diags: bool = True):
+        """One ocean timestep.  ``with_diags=False`` (fused path only)
+        skips the diagnostic-materialization pass: same prognostic
+        trajectory, stale wide diagnostic fields — see
+        ops/ocnstep_fused.py.  The reference path always materializes."""
         grid, wmt, wst, cfg = self.grid, self.wmt, self.wst, self.cfg
 
         if self.pass_impl != "reference":
-            new_st, comp = self._fused_step(st, prm, frc, first_step)
+            new_st, comp = self._fused_step(st, prm, frc, first_step,
+                                            with_diags=with_diags)
         else:
             def per_col(stc, prmc, frcc, act):
                 return ocnstep(stc, prmc, frcc, grid, wmt, wst, cfg,
@@ -236,8 +242,9 @@ class KppModel:
             out = bottomtemp(out, frc, grid, cfg.time.dto)
         return out
 
-    def step(self, st, prm, frc, first_step=False):
-        return self._step_jit(st, prm, frc, jnp.asarray(first_step))
+    def step(self, st, prm, frc, first_step=False, with_diags=True):
+        return self._step_jit(st, prm, frc, jnp.asarray(first_step),
+                              with_diags=with_diags)
 
     # ------------------------------------------------------------------
     # Time loop (reference: mckpp_ocean_model_3D.F90:38-70)

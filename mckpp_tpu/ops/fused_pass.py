@@ -597,9 +597,12 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     kbl_f = kbl.astype(dtype)
 
     if not full:
+        # colout slots: 0=hmix, 1=kmix, 2=surface rho, 3=surface cp
+        # (2-3 let the diagnostics-lazy step keep ntflux's rho0/cp0 exact
+        # without the materialization pass — forcing.py:69-75)
         zcol = jnp.zeros_like(hbl_b)
         colout = jnp.concatenate(
-            [hbl_b, kbl_f] + [zcol] * 6, axis=za)
+            [hbl_b, kbl_f, rho0, cp0] + [zcol] * 4, axis=za)
         return (u_n, v_n, t_n, s_n, u, v, t, s, colout)
 
     uref_b = zs(uref, nz - 1, nz)

@@ -96,14 +96,23 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
     a1_t = jnp.asarray(c.JERLOV_A1, dtype)
     a2_t = jnp.asarray(c.JERLOV_A2, dtype)
 
-    def step_fn(st: State, prm: ColumnParams, frc: Forcing, first_step):
+    def step_fn(st: State, prm: ColumnParams, frc: Forcing, first_step,
+                with_diags: bool = True):
+        """``with_diags=False`` skips the final materialization pass: the
+        prognostic trajectory (u, x, history, hmix, surface rho/cp for the
+        next ntflux) is bitwise identical, but the wide diagnostic fields
+        (difm/rho profiles/wu/wx/corrections) keep their previous values.
+        The reference computes those inline from its per-column cache for
+        free (mckpp_physics_ocnstep_mod.F90:242-256); on TPU the batch
+        re-materialization costs ~a full pass, so callers skip it on steps
+        where no output stream samples a wide field."""
         ncol = st.u.shape[0]
         fast = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
                                   full=False, impl=impl, block=block,
                                   zaxis=zaxis)
         fullp = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
                                    full=True, impl=impl, block=block,
-                                   zaxis=zaxis)
+                                   zaxis=zaxis) if with_diags else None
         active = prm.run_physics
         # batch (ncol, wz) <-> kernel layout
         tok = (lambda a: a) if zaxis == 1 else (lambda a: a.T)
@@ -181,19 +190,24 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                     fast, u, v, t, s, ux, vx, tx, sx, csc)
             hmixn = co(colout, 0)
             kmixn = co(colout, 1).astype(jnp.int32)
+            rho0n = co(colout, 2)
+            cp0n = co(colout, 3)
             if not ph.lkpp:
-                return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn
+                return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0n, cp0n
 
             def cond(carry):
                 return jnp.any(carry[-1])
 
             def body(carry):
                 (u, v, t, s, ux, vx, tx, sx,
-                 hmixe, kmixe, hmixn, kmixn, it, iconv, cont) = carry
+                 hmixe, kmixe, hmixn, kmixn, rho0, cp0,
+                 it, iconv, cont) = carry
                 (u_n, v_n, t_n, s_n, ux_n, vx_n, tx_n, sx_n,
                  colout) = run_pass(fast, u, v, t, s, ux, vx, tx, sx, csc)
                 hmix_p = co(colout, 0)
                 kmix_p = co(colout, 1).astype(jnp.int32)
+                rho0_p = co(colout, 2)
+                cp0_p = co(colout, 3)
                 it_n = it + 1
                 tol = ph.hmixtolfrac * jnp.where(
                     kmix_p == nzp1, hm_lvl[nz - 1],
@@ -212,16 +226,18 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                         m(ux_n, ux), m(vx_n, vx), m(tx_n, tx), m(sx_n, sx),
                         m(hmixe_n, hmixe), m(kmixe_n, kmixe),
                         m(hmix_p, hmixn), m(kmix_p, kmixn),
+                        m(rho0_p, rho0), m(cp0_p, cp0),
                         m(it_n, it), m(iconv_n, iconv), cont & cont_n)
 
             it0 = jnp.full((ncol,), 3, jnp.int32)
             ic0 = jnp.zeros((ncol,), jnp.int32)
             carry = (u, v, t, s, ux, vx, tx, sx, hmixn, kmixn,
-                     hmixn, kmixn, it0, ic0, active)
+                     hmixn, kmixn, rho0n, cp0n, it0, ic0, active)
             carry = jax.lax.while_loop(cond, body, carry)
             (u, v, t, s, ux, vx, tx, sx) = carry[:8]
             hmixn, kmixn = carry[10], carry[11]
-            return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn
+            rho0n, cp0n = carry[12], carry[13]
+            return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0n, cp0n
 
         # ---- instability trap (:89, :194-236) -----------------------------
         li_k = jax.lax.broadcasted_iota(
@@ -256,7 +272,7 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             f_local, reset = carry[10], carry[9]
             pred = carry[8] & (reset <= float(c.COMP_ITER_MAX)) & active
             res = integrate(f_local)
-            u, v, t, s, ux, vx, tx, sx, hmixn, kmixn = res
+            u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0, cp0 = res
             comp_n, fmul = instability(u, v, t, s)
             f_n = f_local * jnp.where(comp_n, fmul, 1.0)
             reset_n = reset + 1.0
@@ -271,60 +287,73 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             return (m(u, o[0]), m(v, o[1]), m(t, o[2]), m(s, o[3]),
                     m(ux, o[4]), m(vx, o[5]), m(tx, o[6]), m(sx, o[7]),
                     m(comp_n, o[8]), m(reset_n, o[9]), m(f_n, o[10]),
-                    m(hmixn, o[11]), m(kmixn, o[12]), m(f_local, o[13]))
+                    m(hmixn, o[11]), m(kmixn, o[12]), m(f_local, o[13]),
+                    m(rho0, o[14]), m(cp0, o[15]))
 
         carry0 = (u_e, v_e, t_e, s_e, u_e, v_e, t_e, s_e,
                   jnp.ones((ncol,), bool), jnp.zeros((ncol,), dtype),
                   prm.f, jnp.zeros((ncol,), dtype),
-                  jnp.full((ncol,), nz, jnp.int32), prm.f)
+                  jnp.full((ncol,), nz, jnp.int32), prm.f,
+                  jnp.asarray(st.rho[:, 0], dtype),
+                  jnp.asarray(st.cp[:, 0], dtype))
         fin = jax.lax.while_loop(outer_cond, outer_body, carry0)
         ux_f, vx_f, tx_f, sx_f = fin[4:8]
         comp_flag, reset_flag = fin[8], fin[9]
         hmixn, kmixn = fin[11], fin[12]
         f_used = fin[13]
 
-        # ---- final full pass: last pass + diagnostics ----------------------
-        csc_f = colscal_of(f_used)
-        outs = run_pass(fullp, ux_f, vx_f, tx_f, sx_f,
-                        ux_f, vx_f, tx_f, sx_f, csc_f)
-        colout = outs[4]
-        (u_p, v_p, t_p, s_p, difm, difs, dift, ghat, rho, cp,
-         talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
-         tinc, sinc, ocntcorr, scorr) = [
-            tob(a) for a in outs[:4] + outs[5:]]
-        rhoh2o = co(colout, 2)
-        fcorr = co(colout, 3)
-        wu0x, wu0y = co(colout, 4), co(colout, 5)
-        wx0t, wx0s, wx0b = co(colout, 6), co(colout, 7), co(colout, 8)
+        if with_diags:
+            # ---- final full pass: last pass + diagnostics ------------------
+            csc_f = colscal_of(f_used)
+            outs = run_pass(fullp, ux_f, vx_f, tx_f, sx_f,
+                            ux_f, vx_f, tx_f, sx_f, csc_f)
+            colout = outs[4]
+            (u_p, v_p, t_p, s_p, difm, difs, dift, ghat, rho, cp,
+             talpha, sbeta, buoy, rig, dbloc, shsq, wxnt_t, swdk_opt,
+             tinc, sinc, ocntcorr, scorr) = [
+                tob(a) for a in outs[:4] + outs[5:]]
+            rhoh2o = co(colout, 2)
+            fcorr = co(colout, 3)
+            wu0x, wu0y = co(colout, 4), co(colout, 5)
+            wx0t, wx0s, wx0b = co(colout, 6), co(colout, 7), co(colout, 8)
 
-        # ---- diagnostic fluxes (:242-256); batch layout (ncol, wz) ---------
-        li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
-        intm = (li >= 1) & (li <= nz)
-        deltaz = 0.5 * (fp._shr(hm_row, 1) + hm_row)   # interface lane i
-        dz_safe = jnp.where(intm, deltaz, 1.0)
-        dif_x = dift if ph.ldd else difs
-        wx1 = -dif_x * ((fp._shr(t_p, 1) - t_p) / dz_safe
-                        - ghat * wx0t[:, None])
-        wx2 = -difs * ((fp._shr(s_p, 1) - s_p) / dz_safe
-                       - ghat * wx0s[:, None])
-        wxb = c.GRAV * (fp._shr(talpha, 1) * wx1 - fp._shr(sbeta, 1) * wx2)
-        wu1 = -difm * (fp._shr(u_p, 1) - u_p) / dz_safe
-        wu2 = -difm * (fp._shr(v_p, 1) - v_p) / dz_safe
+            # ---- diagnostic fluxes (:242-256); batch layout (ncol, wz) -----
+            li = jax.lax.broadcasted_iota(jnp.int32, (1, wz), 1)
+            intm = (li >= 1) & (li <= nz)
+            deltaz = 0.5 * (fp._shr(hm_row, 1) + hm_row)   # interface lane i
+            dz_safe = jnp.where(intm, deltaz, 1.0)
+            dif_x = dift if ph.ldd else difs
+            wx1 = -dif_x * ((fp._shr(t_p, 1) - t_p) / dz_safe
+                            - ghat * wx0t[:, None])
+            wx2 = -difs * ((fp._shr(s_p, 1) - s_p) / dz_safe
+                           - ghat * wx0s[:, None])
+            wxb = c.GRAV * (fp._shr(talpha, 1) * wx1
+                            - fp._shr(sbeta, 1) * wx2)
+            wu1 = -difm * (fp._shr(u_p, 1) - u_p) / dz_safe
+            wu2 = -difm * (fp._shr(v_p, 1) - v_p) / dz_safe
 
-        def iface(surface, interior):
-            prof = jnp.where(li == 0, surface[:, None],
-                             jnp.where(intm, interior, 0.0))
-            return prof[:, :nz + 1]
+            def iface(surface, interior):
+                prof = jnp.where(li == 0, surface[:, None],
+                                 jnp.where(intm, interior, 0.0))
+                return prof[:, :nz + 1]
 
-        wu = jnp.stack([iface(wu0x, wu1), iface(wu0y, wu2)], axis=-1)
-        wx = jnp.stack([iface(wx0t, wx1), iface(wx0s, wx2),
-                        iface(wx0b, wxb)], axis=-1)
+            wu = jnp.stack([iface(wu0x, wu1), iface(wu0y, wu2)], axis=-1)
+            wx = jnp.stack([iface(wx0t, wx1), iface(wx0s, wx2),
+                            iface(wx0b, wxb)], axis=-1)
 
-        # ---- surface references + damping (:305-340) ----------------------
-        u_lvl = u_p[:, :nzp1]
-        v_lvl = v_p[:, :nzp1]
-        t_lvl = t_p[:, :nzp1]
-        s_lvl = s_p[:, :nzp1]
+            # ---- surface references + damping (:305-340) -------------------
+            u_lvl = u_p[:, :nzp1]
+            v_lvl = v_p[:, :nzp1]
+            t_lvl = t_p[:, :nzp1]
+            s_lvl = s_p[:, :nzp1]
+        else:
+            # prognostic-only: the loop's merged solve outputs ARE the final
+            # state (the materialization pass reproduces them bitwise — the
+            # under-relaxation is idempotent at its fixed point)
+            u_lvl = tob(fin[0])[:, :nzp1]
+            v_lvl = tob(fin[1])[:, :nzp1]
+            t_lvl = tob(fin[2])[:, :nzp1]
+            s_lvl = tob(fin[3])[:, :nzp1]
         if ph.l_ssref:
             ssurf = prm.ssref
         else:
@@ -359,22 +388,38 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                            jnp.where(selh[:, 0], hmixn, st.hmixd[:, 1])],
                           axis=-1)
 
-        new_st = dataclasses.replace(
-            st, u=u3, x=x3, us=us, xs=xs, hmixd=hmixd, old=old2, new=new2,
-            hmix=hmixn, kmix=kmixn,
-            rho=rho[:, :nzp1], cp=cp[:, :nzp1], buoy=buoy[:, :nzp1],
-            talpha=talpha[:, :nzp1], sbeta=sbeta[:, :nzp1], rhoh2o=rhoh2o,
-            difm=difm[:, :nz + 2], difs=difs[:, :nz + 2],
-            dift=dift[:, :nz + 2], ghat=ghat[:, :nz + 1],
-            rig=rig[:, :nz + 1], dbloc=dbloc[:, :nz + 1],
-            shsq=shsq[:, :nz + 1], wu=wu, wx=wx,
-            wxnt=st.wxnt.at[:, :, 0].set(wxnt_t[:, :nz + 1]),
-            swdk_opt=swdk_opt[:, :nz + 1],
-            tinc_fcorr=tinc[:, :nzp1], sinc_fcorr=sinc[:, :nzp1],
-            ocntcorr=ocntcorr[:, :nzp1], scorr=scorr[:, :nzp1], fcorr=fcorr,
-            uref=u_lvl[:, 0], vref=v_lvl[:, 0], tref=t_lvl[:, 0],
-            ssurf=jnp.asarray(ssurf, dtype), reset_flag=reset_flag,
-            dampu_flag=dampu_flag, dampv_flag=dampv_flag)
+        if with_diags:
+            new_st = dataclasses.replace(
+                st, u=u3, x=x3, us=us, xs=xs, hmixd=hmixd, old=old2,
+                new=new2, hmix=hmixn, kmix=kmixn,
+                rho=rho[:, :nzp1], cp=cp[:, :nzp1], buoy=buoy[:, :nzp1],
+                talpha=talpha[:, :nzp1], sbeta=sbeta[:, :nzp1],
+                rhoh2o=rhoh2o,
+                difm=difm[:, :nz + 2], difs=difs[:, :nz + 2],
+                dift=dift[:, :nz + 2], ghat=ghat[:, :nz + 1],
+                rig=rig[:, :nz + 1], dbloc=dbloc[:, :nz + 1],
+                shsq=shsq[:, :nz + 1], wu=wu, wx=wx,
+                wxnt=st.wxnt.at[:, :, 0].set(wxnt_t[:, :nz + 1]),
+                swdk_opt=swdk_opt[:, :nz + 1],
+                tinc_fcorr=tinc[:, :nzp1], sinc_fcorr=sinc[:, :nzp1],
+                ocntcorr=ocntcorr[:, :nzp1], scorr=scorr[:, :nzp1],
+                fcorr=fcorr,
+                uref=u_lvl[:, 0], vref=v_lvl[:, 0], tref=t_lvl[:, 0],
+                ssurf=jnp.asarray(ssurf, dtype), reset_flag=reset_flag,
+                dampu_flag=dampu_flag, dampv_flag=dampv_flag)
+        else:
+            # wide diagnostic fields keep their previous values; the
+            # surface rho/cp rows are refreshed from the loop carry so the
+            # next flux update's ntflux (forcing.py:69-75) sees exactly
+            # what the materialization pass would have produced
+            new_st = dataclasses.replace(
+                st, u=u3, x=x3, us=us, xs=xs, hmixd=hmixd, old=old2,
+                new=new2, hmix=hmixn, kmix=kmixn,
+                rho=st.rho.at[:, 0].set(fin[14]),
+                cp=st.cp.at[:, 0].set(fin[15]),
+                uref=u_lvl[:, 0], vref=v_lvl[:, 0], tref=t_lvl[:, 0],
+                ssurf=jnp.asarray(ssurf, dtype), reset_flag=reset_flag,
+                dampu_flag=dampu_flag, dampv_flag=dampv_flag)
         return new_st, comp_flag
 
     return step_fn

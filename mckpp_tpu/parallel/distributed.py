@@ -51,10 +51,34 @@ def initialize(coordinator_address: Optional[str] = None,
             jax.distributed.initialize()
         except Exception:
             pass            # single-process fallback (e.g. CPU tests)
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    warmup_collectives()
+
+
+def warmup_collectives() -> None:
+    """Establish the cross-process collective clique while every process
+    is at the same program point (right after initialize), BEFORE the
+    per-process compile phase.  Collective-backend context setup (e.g.
+    gloo on CPU) exchanges peer addresses under a short timeout; if the
+    first real collective fires while a peer is still deep in a long
+    XLA compile, that exchange can time out.  One tiny allgather here
+    builds the all-device context once, deterministically."""
+    if jax.process_count() == 1:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("mckpp:init")
+    # host-collective clique (one rank per process): process_allgather path
+    np.asarray(multihost_utils.process_allgather(np.zeros((1,), np.float32)))
+    # all-DEVICE clique: an all-reduce over an array sharded across every
+    # device — the clique the sharded step's collectives use
+    mesh = Mesh(np.asarray(jax.devices()), ("d",))
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("d")),
+        np.zeros((len(jax.local_devices()),), np.float32))
+    np.asarray(jax.jit(jnp.sum)(arr))
 
 
 @dataclasses.dataclass(frozen=True)

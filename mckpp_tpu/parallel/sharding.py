@@ -85,11 +85,12 @@ def make_sharded_step(model, mesh: Mesh):
     sh = col_sharding(mesh)
     rep = NamedSharding(mesh, P())
 
-    def step(st, prm, frc, first_step):
-        return model._step(st, prm, frc, first_step)
+    def step(st, prm, frc, first_step, with_diags=True):
+        return model._step(st, prm, frc, first_step, with_diags=with_diags)
 
     return jax.jit(
         step,
+        static_argnames=("with_diags",),
         in_shardings=(sh, sh, sh, rep),
         out_shardings=sh,
         donate_argnums=(0,))

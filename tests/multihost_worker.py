@@ -86,6 +86,9 @@ def build_config(datadir):
 
 
 def main():
+    # build the collective clique while both processes are here, before
+    # the per-process compile phase (see distributed.warmup_collectives)
+    dist.warmup_collectives()
     cfg = build_config(args.datadir)
     model = KppModel(cfg)
     nzp1 = NZ + 1

@@ -15,6 +15,8 @@ from mckpp_tpu.utils import namelist as nml
 from mckpp_tpu import setup as setup_mod
 from mckpp_tpu import forcing as forcing_mod
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("config", ["single_column", "regional_64x64",
                                     "global_1deg", "ensemble10_dd"])

@@ -13,6 +13,8 @@ import pytest
 from mckpp_tpu.io import ncio
 from mckpp_tpu.utils import namelist as nml
 
+pytestmark = pytest.mark.slow
+
 NX, NY, NZ = 4, 3, 10
 DMAX = 100.0
 SPD = 86400.0

@@ -27,6 +27,8 @@ from mckpp_tpu import forcing as forcing_mod
 
 import oracle_fortran as orc
 
+pytestmark = pytest.mark.slow
+
 NCOL, NZ = 3, 16
 NZP1 = NZ + 1
 MAXMODEADV = 6

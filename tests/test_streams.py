@@ -116,6 +116,7 @@ def test_output_time_metadata(tmp_path):
         assert float(nc.variables["T"]._FillValue) == diag.FILL_VALUE
 
 
+@pytest.mark.slow
 def test_cli_uses_iodef(tmp_path, monkeypatch):
     """The CLI picks up streams from an iodef file named in the namelist
     (IODEF_FILE) and writes those files."""

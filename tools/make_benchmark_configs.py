@@ -133,6 +133,73 @@ def _write_sst_sal(d, lons, lats, nz, ndt, dto, with_3d=False):
             {"salinity": (("t", "z", "latitude", "longitude"), sal)})
 
 
+IODEF = """<?xml version="1.0"?>
+<simulation>
+  <context id="kpp">
+    <file_definition type="one_file" enabled=".TRUE.">
+      <file id="output_kpp" name="output_kpp" output_freq="1h" split_freq="1d">
+        <field field_ref="T" name="T_inst" operation="instant"/>
+        <field field_ref="S" name="S_inst" operation="instant"/>
+        <field field_ref="hmix" name="hmix_inst" operation="instant"/>
+      </file>
+      <file id="output_kpp_means" name="output_kpp_means" output_freq="3h" split_freq="1d">
+        <field field_ref="T" name="T_mean" operation="average"/>
+        <field field_ref="S" name="S_mean" operation="average"/>
+        <field field_ref="hmix" name="hmix_mean" operation="average"/>
+      </file>
+      <file id="output_kpp_min" name="output_kpp_min" output_freq="3h" split_freq="1d">
+        <field field_ref="T" name="T_min" operation="minimum"/>
+        <field field_ref="S" name="S_min" operation="minimum"/>
+        <field field_ref="hmix" name="hmix_min" operation="minimum"/>
+      </file>
+      <file id="output_kpp_max" name="output_kpp_max" output_freq="3h" split_freq="1d">
+        <field field_ref="T" name="T_max" operation="maximum"/>
+        <field field_ref="S" name="S_max" operation="maximum"/>
+        <field field_ref="hmix" name="hmix_max" operation="maximum"/>
+      </file>
+      <file id="output_kpp_all" name="output_kpp_all" output_freq="3h" split_freq="1d">
+        <field field_ref="T" operation="instant"/>
+        <field field_ref="S" operation="instant"/>
+        <field field_ref="u" operation="instant"/>
+        <field field_ref="v" operation="instant"/>
+        <field field_ref="B" operation="instant"/>
+        <field field_ref="wu" operation="instant"/>
+        <field field_ref="wv" operation="instant"/>
+        <field field_ref="wT" operation="instant"/>
+        <field field_ref="wS" operation="instant"/>
+        <field field_ref="wB" operation="instant"/>
+        <field field_ref="wTnt" operation="instant"/>
+        <field field_ref="difm" operation="instant"/>
+        <field field_ref="dift" operation="instant"/>
+        <field field_ref="difs" operation="instant"/>
+        <field field_ref="rho" operation="instant"/>
+        <field field_ref="cp" operation="instant"/>
+        <field field_ref="scorr" operation="instant"/>
+        <field field_ref="Rig" operation="instant"/>
+        <field field_ref="dbloc" operation="instant"/>
+        <field field_ref="Shsq" operation="instant"/>
+        <field field_ref="tinc_fcorr" operation="instant"/>
+        <field field_ref="fcorr_z" operation="instant"/>
+        <field field_ref="sinc_fcorr" operation="instant"/>
+        <field field_ref="hmix" operation="instant"/>
+        <field field_ref="fcorr" operation="instant"/>
+        <field field_ref="taux_in" operation="instant"/>
+        <field field_ref="tauy_in" operation="instant"/>
+        <field field_ref="solar_in" operation="instant"/>
+        <field field_ref="nsolar_in" operation="instant"/>
+        <field field_ref="PminusE_in" operation="instant"/>
+        <field field_ref="cplwght" operation="instant"/>
+        <field field_ref="freeze_flag" operation="instant"/>
+        <field field_ref="comp_flag" operation="instant"/>
+        <field field_ref="dampu_flag" operation="instant"/>
+        <field field_ref="dampv_flag" operation="instant"/>
+      </file>
+    </file_definition>
+  </context>
+</simulation>
+"""
+
+
 def _namelist(d, nx, ny, nz, dmax, lon0, lat0, dtsec=3600.0, ndtocn=3,
               finalt=1.0, fluxdata=True, relax=False, ldd=False,
               restart_every=0):
@@ -174,11 +241,14 @@ def _namelist(d, nx, ny, nz, dmax, lon0, lat0, dtsec=3600.0, ndtocn=3,
  {forcing}
  &END
  &NAME_OUTPUT
- L_RESTARTW=.T., restart_outfile='restart_out', ndt_per_restart={restart_every}
+ L_RESTARTW=.T., restart_outfile='restart_out', ndt_per_restart={restart_every},
+ IODEF_FILE='iodef.xml'
  &END
 """
     with open(f"{d}/3D_ocn.nml", "w") as f:
         f.write(text)
+    with open(f"{d}/iodef.xml", "w") as f:
+        f.write(IODEF)
 
 
 def generate(config: str, outdir: str, toy: bool = False):
