@@ -55,6 +55,17 @@ def main(argv=None):
         dist.initialize()
 
     routine = "MCKPP_TPU_MAIN"
+    # persistent XLA compile cache: the step function costs tens of
+    # seconds to compile per (shape, dtype, with_diags) variant; cache it
+    # across runs (override dir with MCKPP_COMPILE_CACHE, disable with
+    # MCKPP_COMPILE_CACHE=0)
+    cache_dir = os.environ.get(
+        "MCKPP_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~/.cache"), "mckpp_jax_cache"))
+    if cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     timers = Timers()
     timers.start("Initialization")
     cfg, extras = nml.load_config(args.namelist)
@@ -75,9 +86,14 @@ def main(argv=None):
     unpad = lambda tree: tree
     l_ocean_np = np.asarray(prm.l_ocean)       # unpadded output-domain mask
     layout = None
-    if (args.multi_device or args.distributed) and len(jax.devices()) > 1:
-        mesh = shard.make_mesh()
-        layout = dist.make_layout(ncol, mesh)
+    multi = (args.multi_device or args.distributed) and len(jax.devices()) > 1
+    pad_mult = (cfg.physics.pass_block if model.pass_impl == "pallas" else 1)
+    # the Pallas kernel needs a column count divisible by its tile; odd
+    # production domains (453x319 = 144,507) go through the padded layout
+    # even single-device
+    if multi or (ncol % pad_mult != 0):
+        mesh = shard.make_mesh(jax.devices() if multi else jax.devices()[:1])
+        layout = dist.make_layout(ncol, mesh, pad_multiple=pad_mult)
         st = layout.shard_tree(st)
         prm = layout.shard_tree(prm)
         frc = layout.shard_tree(frc)

@@ -214,12 +214,19 @@ def any_across_processes(flag: bool) -> bool:
     return bool(np.any(flags))
 
 
-def make_layout(ncol_unpadded: int, mesh: Optional[Mesh] = None) -> ColumnLayout:
-    """Layout for ``ncol_unpadded`` columns over all devices of all hosts."""
+def make_layout(ncol_unpadded: int, mesh: Optional[Mesh] = None,
+                pad_multiple: int = 1) -> ColumnLayout:
+    """Layout for ``ncol_unpadded`` columns over all devices of all hosts.
+
+    ``pad_multiple``: additionally pad so each device's shard is a
+    multiple of it (e.g. the Pallas column-tile size — production column
+    counts like 453*319 = 144,507 are odd and would otherwise leave the
+    kernel without a valid tile)."""
     if mesh is None:
         mesh = make_mesh()
     ndev = int(np.prod(mesh.devices.shape))
-    # pad to a multiple of the global device count; since devices are
-    # evenly spread over processes, host slices then align with shards
-    ncol = ncol_unpadded + (-ncol_unpadded) % max(ndev, 1)
+    # pad to a multiple of the global device count (host slices then align
+    # with shards) times the per-shard tile multiple
+    m = max(ndev, 1) * max(pad_multiple, 1)
+    ncol = ncol_unpadded + (-ncol_unpadded) % m
     return ColumnLayout(mesh=mesh, ncol=ncol, ncol_unpadded=ncol_unpadded)

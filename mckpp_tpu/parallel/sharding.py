@@ -88,9 +88,16 @@ def make_sharded_step(model, mesh: Mesh):
     def step(st, prm, frc, first_step, with_diags=True):
         return model._step(st, prm, frc, first_step, with_diags=with_diags)
 
-    return jax.jit(
+    # with_diags is static and must be POSITIONAL: pjit rejects kwargs
+    # when in_shardings is given
+    jitted = jax.jit(
         step,
-        static_argnames=("with_diags",),
+        static_argnums=(4,),
         in_shardings=(sh, sh, sh, rep),
         out_shardings=sh,
         donate_argnums=(0,))
+
+    def wrapper(st, prm, frc, first_step, with_diags=True):
+        return jitted(st, prm, frc, first_step, bool(with_diags))
+
+    return wrapper
