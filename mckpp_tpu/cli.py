@@ -153,7 +153,14 @@ def main(argv=None):
 
     num_steps = args.steps or cfg.time.num_timesteps
     mckpp_print(routine, f"timestepping loop: {num_steps} steps")
+    import time as _time
+    t_half = None
     for nt in range(1, num_steps + 1):
+        if nt == num_steps // 2 + 1 and num_steps >= 4:
+            # steady-state marker: everything is compiled by mid-run, so
+            # the second half times pure model throughput
+            jax.block_until_ready(jax.tree_util.tree_leaves(st))
+            t_half = _time.perf_counter()
         time_days = cfg.time.startt + (nt - 1) * cfg.time.dto / 86400.0
         if (nt - 1) % cfg.time.ndtocn == 0:
             timers.start("Update surface fluxes")
@@ -188,6 +195,13 @@ def main(argv=None):
             restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
         timers.stop("Restart output")
 
+    jax.block_until_ready(jax.tree_util.tree_leaves(st))
+    if t_half is not None:
+        n2 = num_steps - num_steps // 2
+        dt2 = _time.perf_counter() - t_half
+        mckpp_print(routine,
+                    f"steady-state: {dt2:.3f} s for the last {n2} steps "
+                    f"({ncol * n2 / dt2:.1f} column-steps/s)")
     paths = diag.flush()
     mckpp_print(routine, f"wrote diagnostics: {sorted(paths.values())}")
     mckpp_print(routine, f"wrote restarts: {restart.written}")

@@ -71,12 +71,15 @@ def run_cli_config(config, workdir, steps):
             raise RuntimeError(f"{config} failed rc={r.returncode}:\n{tail}")
         return wall, r
 
-    # run twice: the first populates the persistent compile cache, the
-    # second is the representative (warm) number — the reference's 1 h
-    # budget is likewise for a routinely-rerun binary
-    wall_cold, _ = once()
     wall, r = once()
+    wall_cold = wall
     timers = parse_timers(r.stdout)
+    m = re.search(r"steady-state: ([\d.]+) s for the last (\d+) steps",
+                  r.stdout)
+    steady = None
+    if m:
+        steady = round(float(m.group(2)) / float(m.group(1))
+                       * domain_of(config)[0] * domain_of(config)[1], 1)
     nx, ny, nz = domain_of(config)
     ncol = nx * ny
     phys = timers.get("Physics", (0, float("nan")))[1]
@@ -84,11 +87,9 @@ def run_cli_config(config, workdir, steps):
     n_out = len([f for f in os.listdir(out) if f.endswith(".nc")])
     return {
         "config": config, "ncol": ncol, "nz": nz, "steps": steps,
-        "wall_cold_s": round(wall_cold, 2),
         "wall_s": round(wall, 2), "model_loop_s": round(total, 2),
         "physics_s": round(phys, 2),
-        "col_steps_per_s_physics": round(ncol * steps / phys, 1)
-        if phys else None,
+        "col_steps_per_s_steady": steady,
         "col_steps_per_s_wall": round(ncol * steps / total, 1),
         "output_files": n_out,
         "diag_s": round(timers.get("Diagnostic output", (0, 0.0))[1], 2),
