@@ -15,12 +15,18 @@ plain mckpp_fluxes_swdk does not.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as c
 
-_RFAC = jnp.asarray(c.JERLOV_RFAC)
-_A1 = jnp.asarray(c.JERLOV_A1)
-_A2 = jnp.asarray(c.JERLOV_A2)
+# numpy (not jnp): creating device arrays at import time would initialize
+# the XLA backend during `import mckpp_tpu`, which breaks
+# jax.distributed.initialize() in multi-host entry points (it must run
+# before any backend init).  These trace into jitted code as constants
+# either way.
+_RFAC = np.asarray(c.JERLOV_RFAC)
+_A1 = np.asarray(c.JERLOV_A1)
+_A2 = np.asarray(c.JERLOV_A2)
 
 
 def swfrac_levels(fact, zm, jerlov):
@@ -30,7 +36,8 @@ def swfrac_levels(fact, zm, jerlov):
     zm: (nzp1,) level depths (<0); jerlov: scalar int index (0-based).
     Returns (nzp1,) fractions.
     """
-    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    rfac, a1, a2 = (jnp.asarray(_RFAC)[jerlov], jnp.asarray(_A1)[jerlov],
+                    jnp.asarray(_A2)[jerlov])
     r1 = jnp.maximum(zm * fact / a1, c.SWFRAC_RMIN)
     r2 = jnp.maximum(zm * fact / a2, c.SWFRAC_RMIN)
     return rfac * jnp.exp(r1) + (1.0 - rfac) * jnp.exp(r2)
@@ -39,7 +46,8 @@ def swfrac_levels(fact, zm, jerlov):
 def swfrac(fact, z, jerlov):
     """Pointwise sw fraction with rmin clipping
     (reference: MCKPP_PHYSICS_SWFRAC, mckpp_physics_swfrac_mod.F90:49-79)."""
-    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    rfac, a1, a2 = (jnp.asarray(_RFAC)[jerlov], jnp.asarray(_A1)[jerlov],
+                    jnp.asarray(_A2)[jerlov])
     r1 = jnp.maximum(z * fact / a1, c.SWFRAC_RMIN)
     r2 = jnp.maximum(z * fact / a2, c.SWFRAC_RMIN)
     return rfac * jnp.exp(r1) + (1.0 - rfac) * jnp.exp(r2)
@@ -48,5 +56,6 @@ def swfrac(fact, z, jerlov):
 def swdk(z, jerlov):
     """Unclipped sw decay used for the solar-heating profile
     (reference: mckpp_fluxes_swdk, mckpp_fluxes_mod.F90:121-137)."""
-    rfac, a1, a2 = _RFAC[jerlov], _A1[jerlov], _A2[jerlov]
+    rfac, a1, a2 = (jnp.asarray(_RFAC)[jerlov], jnp.asarray(_A1)[jerlov],
+                    jnp.asarray(_A2)[jerlov])
     return rfac * jnp.exp(z / a1) + (1.0 - rfac) * jnp.exp(z / a2)
