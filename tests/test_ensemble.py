@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mckpp_tpu import ensemble
 from mckpp_tpu.parallel import sharding as sh
@@ -21,6 +22,7 @@ from mckpp_tpu import forcing as forcing_mod
 import test_io
 
 
+@pytest.mark.slow
 def test_member0_bitwise_and_perturbed_diverge():
     model, st, prm, frc = test_io._build(ncol=4, nz=10)
 

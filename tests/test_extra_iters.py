@@ -48,6 +48,7 @@ ITERMAX = 4
 TOLFRAC = 1e-7          # convergence effectively unreachable
 
 
+@pytest.mark.slow
 def test_extra_iters_cap_binds_and_matches_unbounded_reference():
     # oracle with the reference's unbounded deepening branch
     model = tj.make_model(itermax=ITERMAX, hmixtolfrac=TOLFRAC,

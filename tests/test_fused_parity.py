@@ -91,6 +91,7 @@ FEATURE_CASES = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("case", sorted(FEATURE_CASES))
 def test_fused_matches_reference_trajectory(case):
     kw = FEATURE_CASES[case]
@@ -122,6 +123,7 @@ def test_fused_matches_reference_trajectory(case):
     assert_states_close(out_f, out_r, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_fused_instability_trap_and_damping_parity():
     """Non-vacuous coverage of the instability trap, reset-999 and current
     damping (mckpp_physics_ocnstep_mod.F90:194-236, 317-340): hurricane-force

@@ -109,11 +109,14 @@ def test_output_time_metadata(tmp_path):
     dm.flush()
     with ncio.open_nc(str(tmp_path / "meta.nc")) as nc:
         tv = nc.variables["time"]
-        assert tv.units.startswith(b"days since 0000-01-02")
-        assert tv.calendar == b"gregorian"
         zv = nc.variables["z"]
-        assert zv.units == b"m" and zv.positive == b"up"
-        assert float(nc.variables["T"]._FillValue) == diag.FILL_VALUE
+        attrs = (tv.units, tv.calendar, zv.units, zv.positive,
+                 float(nc.variables["T"]._FillValue))
+        del tv, zv               # drop memmap refs before close
+    assert attrs[0].startswith(b"days since 0000-01-02")
+    assert attrs[1] == b"gregorian"
+    assert attrs[2] == b"m" and attrs[3] == b"up"
+    assert attrs[4] == diag.FILL_VALUE
 
 
 @pytest.mark.slow
