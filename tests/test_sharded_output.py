@@ -52,10 +52,16 @@ def test_diag_gathers_only_on_emit(tmp_path):
         before = layout.gathers
         dm.step(nt, st_s, prm_s, frc_s)
         per_step.append(layout.gathers - before)
-    # steps 1,2,4,5: no emission -> ZERO gathers; step 3: s3 emits
-    # (2 fields); step 6: s3 (2) + s6 (1)
-    assert per_step == [0, 0, 2, 0, 0, 3], per_step
+    # single-process: the step loop performs ZERO gathers — emitted
+    # windows keep device arrays and the writer fetches them at
+    # flush/split time, off the step path (multi-process would gather
+    # synchronously once per emit: 2 at step 3, 3 at step 6)
+    assert per_step == [0, 0, 0, 0, 0, 0], per_step
+    before = layout.gathers
     dm.flush()
+    # flush fetches each emitted record's fields: s3 emitted twice
+    # (2 fields each) + s6 once (1 field)
+    assert layout.gathers - before == 5
 
     # emitted values equal the unsharded reference computation
     fields = diag.extract_fields(st, prm, frc)

@@ -95,6 +95,7 @@ def run_cli_config(config, workdir, steps):
         "diag_s": round(timers.get("Diagnostic output", (0, 0.0))[1], 2),
         "flux_s": round(timers.get("Update surface fluxes", (0, 0.0))[1], 2),
         "init_s": round(timers.get("Initialization", (0, 0.0))[1], 2),
+        "timers": {k: v[1] for k, v in timers.items()},
     }
 
 
