@@ -148,7 +148,9 @@ def main(argv=None):
     restart = RestartControl(
         f"{args.output_dir}/{cfg.output.restart_outfile}",
         cfg.output.ndt_per_restart, cfg.time.num_timesteps,
-        cfg.time.dto, cfg.time.startt)
+        cfg.time.dto, cfg.time.startt,
+        netcdf_grid=((cfg.domain.nx, cfg.domain.ny)
+                     if cfg.output.l_restart_netcdf else None))
     timers.stop("Initialization")
 
     num_steps = args.steps or cfg.time.num_timesteps

@@ -225,6 +225,9 @@ class OutputConfig:
     l_restartw: bool = True
     restart_outfile: str = "restart"
     ndt_per_restart: int = 0          # 0 -> only at end of run
+    # additionally write each restart in the reference's NetCDF format
+    # (mckpp_xios_io.F90:406-433) for MC-KPP tooling interop
+    l_restart_netcdf: bool = False
     output_dir: str = "."
     # list of (name, reduction, frequency-in-steps); reduction in
     # {"instant", "average", "minimum", "maximum"}

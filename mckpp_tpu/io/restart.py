@@ -180,12 +180,17 @@ class RestartControl:
     the final step."""
 
     def __init__(self, outfile: str, ndt_per_restart: int, num_timesteps: int,
-                 dto: float, start_days: float):
+                 dto: float, start_days: float,
+                 netcdf_grid: Optional[Tuple[int, int]] = None):
+        """``netcdf_grid=(nx, ny)`` additionally writes each restart in
+        the reference's NetCDF format (field list of
+        mckpp_xios_io.F90:406-433) next to the exact .npz."""
         self.outfile = outfile
         self.cadence = ndt_per_restart
         self.last = num_timesteps
         self.dto = dto
         self.start = start_days
+        self.netcdf_grid = netcdf_grid
         self.written = []
 
     def due(self, nt: int) -> bool:
@@ -202,5 +207,12 @@ class RestartControl:
             t = self.start + (nt - 1) * self.dto / 86400.0
             p = save_restart(self.outfile, st, prm, frc, nt, t, self.dto)
             self.written.append(p)
+            if self.netcdf_grid is not None:
+                nx, ny = self.netcdf_grid
+                valid = t + self.dto / 86400.0
+                pn = export_reference_restart(
+                    f"{self.outfile}_{valid:012.5f}.nc", st, prm,
+                    nx, ny, t, self.dto)
+                self.written.append(pn)
             return p
         return None

@@ -220,6 +220,7 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
         restart_outfile=str(get("NAME_OUTPUT", "RESTART_OUTFILE", "restart")),
         ndt_per_restart=int(get("NAME_OUTPUT", "NDT_PER_RESTART", 0)),
         iodef_file=str(get("NAME_OUTPUT", "IODEF_FILE", "")),
+        l_restart_netcdf=bool(get("NAME_OUTPUT", "L_RESTART_NETCDF", False)),
     )
     cfg = KppConfig(domain=domain, time=time, physics=physics,
                     forcing=forcing, boundary=boundary, init=init,

@@ -227,3 +227,24 @@ def test_default_streams_follow_dto():
     s3600 = {s.name: s.freq for s in diag.default_streams(3600.0)}
     assert s3600 == {"kpp_1h_inst": 1, "kpp_3h_mean": 3,
                      "kpp_3h_min": 3, "kpp_3h_max": 3}
+
+
+def test_restart_control_netcdf_export(tmp_path):
+    """L_RESTART_NETCDF writes a reference-format NetCDF restart next to
+    the exact .npz, and it round-trips through the reference importer."""
+    model, st, prm, frc = _build()
+    rc = rst.RestartControl(str(tmp_path / "r"), ndt_per_restart=0,
+                            num_timesteps=2, dto=1200.0, start_days=0.0,
+                            netcdf_grid=(4, 1))
+    st2 = model.step(st, prm, frc, first_step=True)
+    rc.maybe_write(2, st2, prm, frc)
+    ncs = [p for p in rc.written if p.endswith(".nc")]
+    npzs = [p for p in rc.written if p.endswith(".npz")]
+    assert len(ncs) == 1 and len(npzs) == 1
+    st_in, prm_in, t = rst.import_reference_restart(ncs[0], st, prm,
+                                                    grid=model.grid)
+    np.testing.assert_allclose(np.asarray(st_in.x), np.asarray(st2.x),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_in.us), np.asarray(st2.us),
+                               rtol=1e-12)
+    assert np.array_equal(np.asarray(st_in.old), np.asarray(st2.old))
