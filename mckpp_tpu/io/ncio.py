@@ -48,10 +48,21 @@ class _H5File:
         import h5py
         self._f = h5py.File(path, "r")
         self.variables = {}
+        depth = {}
 
         def visit(name, obj):
+            # flat name map; on collision the SHALLOWEST dataset wins
+            # (netCDF4 classic-model files — what MC-KPP inputs are — keep
+            # all variables at the root; group-nested duplicates must not
+            # shadow them).  Dimension-scale coordinate variables are
+            # plain datasets here, which is exactly how the helpers use
+            # them (get_coord reads values, not scale attachments).
             if isinstance(obj, h5py.Dataset):
-                self.variables[name.rsplit("/", 1)[-1]] = obj
+                key = name.rsplit("/", 1)[-1]
+                d = name.count("/")
+                if key not in self.variables or d < depth[key]:
+                    self.variables[key] = obj
+                    depth[key] = d
         self._f.visititems(visit)
 
     def close(self):

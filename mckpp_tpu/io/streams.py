@@ -60,6 +60,61 @@ def _truthy(attr: Optional[str], default: bool = True) -> bool:
     return attr.strip().lower().strip(".") in ("true", "t", "1")
 
 
+_ENTITY_RE = re.compile(r"&(?:[A-Za-z][A-Za-z0-9]*|#[0-9]+|#x[0-9A-Fa-f]+);")
+
+
+def _sanitize_xml(text: str) -> str:
+    """Escape raw ``<`` / ``&`` inside attribute values.
+
+    XIOS's XML layer tolerates markup characters in attribute values — the
+    reference's own run/iodef.xml has ``long_name="...(<0 = isothermal
+    reset)"`` — but a conforming parser (xml.etree) rejects them.  This
+    single pass escapes ``<`` and non-entity ``&`` occurring inside quoted
+    attribute values (and skips comments), so the verbatim reference file
+    parses.  Well-formed XML passes through unchanged.
+    """
+    out = []
+    i, n = 0, len(text)
+    in_tag = False
+    quote = None                      # the active attribute-value delimiter
+    while i < n:
+        ch = text[i]
+        if quote is not None:
+            if ch == quote:
+                quote = None
+                out.append(ch)
+            elif ch == "<":
+                out.append("&lt;")
+            elif ch == ">":
+                out.append("&gt;")
+            elif ch == "&" and not _ENTITY_RE.match(text, i):
+                out.append("&amp;")
+            else:
+                out.append(ch)
+            i += 1
+        elif in_tag:
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == ">":
+                in_tag = False
+            out.append(ch)
+            i += 1
+        elif ch == "<":
+            if text.startswith("<!--", i):
+                end = text.find("-->", i)
+                end = n if end < 0 else end + 3
+                out.append(text[i:end])
+                i = end
+            else:
+                in_tag = True
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def parse_iodef(path: str, dto_seconds: float) -> List[Stream]:
     """Parse an iodef.xml-style file into output Streams.
 
@@ -67,8 +122,12 @@ def parse_iodef(path: str, dto_seconds: float) -> List[Stream]:
     become (output-name, field_ref, operation) entries, defaulting the
     output name to the field_ref and the operation to "instant" — exactly
     the semantics of the reference job's file_definition
-    (run/iodef.xml:88-157)."""
-    root = ET.parse(path).getroot()
+    (run/iodef.xml:88-157).  The raw text is sanitized first (see
+    :func:`_sanitize_xml`) so the reference's actual iodef.xml — which
+    carries a raw ``<`` inside a long_name attribute (run/iodef.xml:80)
+    that XIOS tolerates — ingests verbatim."""
+    with open(path, "r") as f:
+        root = ET.fromstring(_sanitize_xml(f.read()))
     streams: List[Stream] = []
     for fe in root.iter("file"):
         if not _truthy(fe.get("enabled")):

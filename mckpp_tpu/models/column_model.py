@@ -93,7 +93,7 @@ class KppModel:
             raise ValueError(
                 f"pass_impl={choice!r} requested but the configuration "
                 "uses features the fused pass does not cover "
-                "(l_advect / wscale table / thomas solver)")
+                "(wscale table / thomas solver)")
         return choice
 
     # ------------------------------------------------------------------

@@ -72,8 +72,8 @@ _BIG = 1.0e30
 @dataclasses.dataclass(frozen=True)
 class PassFlags:
     """Static feature flags specializing the fused pass (subset of the
-    reference's L_* switches that the kernel supports; l_advect and the
-    resident-table wscale fall back to the unfused path)."""
+    reference's L_* switches that the kernel supports; only the
+    resident-table wscale falls back to the unfused path)."""
     lri: bool = True
     ldd: bool = False
     lkpp: bool = True
@@ -84,6 +84,10 @@ class PassFlags:
     l_sfcorr_withz: bool = False
     l_relax_sal: bool = False
     l_relax_ocnt: bool = False
+    # steady advection corrections of the salinity RHS (rhsmod modes 1-7,
+    # solvers.F90:176-335); per-column magnitudes arrive pre-grouped by
+    # mode in colscal rows CS_ADV1..CS_ADV7
+    l_advect: bool = False
     # "nodal" = the reference's bilinear table interpolation computed
     # gather-free (bit-matches the resident table); "analytic" = the exact
     # LMD stability functions the table discretizes — 4x fewer node
@@ -98,7 +102,12 @@ CS_SSURF, CS_SREF, CS_F, CS_OCDEPTH = 6, 7, 8, 9
 CS_RFAC, CS_A1, CS_A2, CS_FIRST = 10, 11, 12, 13
 CS_RELAX_SST, CS_SST0, CS_FCORR2D, CS_RELAX_OCNT, CS_RELAX_SAL, CS_FCORRP = \
     14, 15, 16, 17, 18, 19
-NSC = 24  # padded row count
+# advection-correction magnitudes grouped by rhsmod mode: row CS_ADV1+m-1
+# holds coef_m = sum of advection(im, 2) over entries with modeadv(im, 2)==m
+# (the reference's sequential per-im loop, ocnint_mod.F90:179-184, collapses
+# to sum_m coef_m * basis_m because addition commutes)
+CS_ADV1 = 20
+NSC = 32  # padded row count
 
 
 def _shr(v, s, fill=0.0, axis=1):
@@ -214,7 +223,8 @@ def _tridrhs(hm, yo, ntflux, diff, ghat, sturflux, ghatflux, dto, tdn,
 def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
                swdk_c, swfrac_c, ocnt_clim, sal_clim, fcorr_z, sfcorr_z,
                colscal, zm, hm, dm, tdn, tup, aref,
-               *, nz, flags: PassFlags, dto, full, zaxis=1, zbot=None):
+               *, nz, flags: PassFlags, dto, full, zaxis=1, zbot=None,
+               adv_st=None):
     """One fused pass over a column block.  Layouts (static ``zaxis``):
 
     * ``zaxis=1``: profiles are ``(B, WZ)`` — z on lanes, columns on
@@ -576,6 +586,68 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     cu_s, cc_s, cl_s = _tridcof(difs, tdn, tup, nz, row, za)
     rhs_s = _tridrhs(hm, so, jnp.zeros_like(u), difs, ghat, wx0s, wx0s,
                      dto_f, tdn, nz, row, za)
+    if flags.l_advect:
+        # steady advection corrections, salinity scalar only (rhsmod modes
+        # 1-7, solvers.F90:176-335; ocnint applies them only to n=2,
+        # mckpp_physics_ocnint_mod.F90:179-184).  km is this pass's kmixe
+        # (ocnstep_mod.F90:133-153 passes the vmix output of the SAME
+        # pass).  Each mode's level "basis" (mask / band thickness) is a
+        # lane-masked profile; per-column magnitudes arrive pre-grouped by
+        # mode in colscal rows CS_ADV1..7.
+        rows_nz = row < nz
+        km = kbl
+        dm_km = ext(dm, km, li)
+        hm_km = ext(hm, km - 1, li)
+        hm_km1 = ext(hm, km - 2, li)
+        # static inclusive prefix sum over rows of hm(r+1) — the depth
+        # accumulator of the mode-6/7 band walks (solvers.F90:292-331)
+        hm_next = jnp.where(rows_nz, shl(hm, 1), 0.0)
+        pfx = hm_next
+        stp = 1
+        while stp < wz:
+            pfx = pfx + shr(pfx, stp)
+            stp *= 2
+        bigr = jnp.asarray(wz + 100, jnp.int32)
+
+        def band_basis(in_walk, depth, target):
+            hit = in_walk & rows_nz & (depth >= target)
+            fx = jnp.min(jnp.where(hit, li, bigr), axis=za, keepdims=True)
+            n2r = jnp.where(fx < bigr, fx, nz - 1)
+            m = in_walk & rows_nz & (li <= n2r)
+            delta = jnp.sum(jnp.where(m, hm, 0.0), axis=za, keepdims=True)
+            return jnp.where(m, 1.0 / jnp.where(delta > 0.0, delta, 1.0),
+                             0.0)
+
+        total = jnp.zeros_like(rhs_s)
+        for mode in range(1, 8):
+            coef = cs(CS_ADV1 + mode - 1)
+            if mode == 1:                 # upper layer only
+                basis = jnp.where(row == 0, 1.0 / adv_st["hm1"], 0.0)
+            elif mode == 2:               # mixed layer 1..km-1
+                m2 = rows_nz & (li <= km - 2)
+                d2 = jnp.sum(jnp.where(m2, hm, 0.0), axis=za, keepdims=True)
+                basis = jnp.where(
+                    m2, 1.0 / jnp.where(d2 > 0.0, d2, 1.0), 0.0)
+            elif mode == 3:               # whole column
+                basis = jnp.where(rows_nz, adv_st["inv_delta3"], 0.0)
+            elif mode == 4:               # below 100 m to nz-1 (static band)
+                if adv_st["n1_4"] <= 0 or adv_st["delta4"] <= 0.0:
+                    continue
+                m4 = (row >= adv_st["n1_4"] - 1) & (row <= nz - 2)
+                basis = jnp.where(m4, 1.0 / adv_st["delta4"], 0.0)
+            elif mode == 5:               # bottom-layer diffusion
+                basis = jnp.where(row == nz - 1, 1.0 / adv_st["hm_nz"], 0.0)
+            elif mode == 6:               # seasonal mixed layer
+                depth6 = adv_st["hm1"] + pfx
+                dmax6 = dm_km - 0.5 * (hm_km + hm_km1)
+                basis = band_basis(rows_nz, depth6, dmax6)
+            else:                         # mode 7: seasonal thermocline
+                in7 = li >= km - 2
+                pfx_lo = ext(pfx, km - 3, li)
+                depth7 = (dm_km - 0.5 * hm_km) + (pfx - pfx_lo)
+                basis = band_basis(in7, depth7, 100.0)
+            total = total + coef * basis
+        rhs_s = rhs_s + (dto_f * 0.033) * total
     sinc = jnp.zeros_like(u)
     if flags.l_sfcorr_withz:
         sinc = sinc + dto_f * sfcorr_z
@@ -656,8 +728,25 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
     """
     nz = grid.nz
     wz = nz + 2
+    adv_st = None
+    if flags.l_advect:
+        # static grid scalars for the rhsmod bases (solvers.F90:195-331)
+        hm_np = np.asarray(grid.hm, np.float64)
+        zm_np = np.asarray(grid.zm, np.float64)
+        below = zm_np[:nz] < -100.0
+        n1_4 = int(np.argmax(below)) + 1 if below.any() else 0
+        m4 = np.zeros(nz, bool)
+        if n1_4 > 0:
+            m4[n1_4 - 1:nz - 1] = True
+        adv_st = dict(
+            hm1=float(hm_np[0]),
+            inv_delta3=float(1.0 / hm_np[:nz].sum()),
+            n1_4=n1_4,
+            delta4=float(hm_np[:nz][m4].sum()),
+            hm_nz=float(hm_np[nz - 1]))
     body = partial(_pass_body, nz=nz, flags=flags, dto=dto, full=full,
-                   zaxis=zaxis, zbot=float(np.asarray(grid.zm)[nz]))
+                   zaxis=zaxis, zbot=float(np.asarray(grid.zm)[nz]),
+                   adv_st=adv_st)
     if impl == "xla":
         return body
 

@@ -36,10 +36,10 @@ from . import fused_pass as fp
 
 
 def supports_fused(cfg: KppConfig) -> bool:
-    """The fused kernel covers every feature combination except steady
-    advection corrections (rhsmod) and the resident-table wscale mode."""
-    return (not cfg.boundary.l_advect
-            and cfg.physics.wscale_mode in ("nodal", "analytic")
+    """The fused kernel covers every feature combination except the
+    resident-table wscale mode (advection/rhsmod is in-kernel since r4:
+    lane-masked basis profiles in the scalar-RHS stage)."""
+    return (cfg.physics.wscale_mode in ("nodal", "analytic")
             and cfg.physics.solver == "pcr")
 
 
@@ -50,7 +50,8 @@ def pass_flags(cfg: KppConfig) -> fp.PassFlags:
         l_relax_sst=b.l_relax_sst, l_relax_calconly=b.l_relax_calconly,
         l_fcorr=f.l_fcorr, l_fcorr_withz=f.l_fcorr_withz,
         l_sfcorr_withz=f.l_sfcorr_withz, l_relax_sal=b.l_relax_sal,
-        l_relax_ocnt=b.l_relax_ocnt, wscale=ph.wscale_mode)
+        l_relax_ocnt=b.l_relax_ocnt, l_advect=b.l_advect,
+        wscale=ph.wscale_mode)
 
 
 def _pad(a, wz):
@@ -157,12 +158,29 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
         a1j = jnp.take(a1_t, prm.jerlov)
         a2j = jnp.take(a2_t, prm.jerlov)
 
+        if flags.l_advect:
+            # group per-column advection magnitudes by rhsmod mode (the
+            # salinity scalar's entries only, ocnint_mod.F90:179-184):
+            # coef_m = sum over active entries im with modeadv(im,2)==m
+            nm_s = prm.nmodeadv[:, 1]
+            adv_coef = []
+            for mode in range(1, 8):
+                cm = jnp.zeros((ncol,), dtype)
+                for im in range(prm.modeadv.shape[1]):
+                    act = (im < nm_s) & (prm.modeadv[:, im, 1] == mode)
+                    cm = cm + jnp.where(
+                        act, prm.advection[:, im, 1].astype(dtype), 0.0)
+                adv_coef.append(cm)
+        else:
+            adv_coef = [zero] * 7
+
         def colscal_of(f_local):
             cols = [frc.sflux[:, k] for k in range(6)]
             cols += [st.ssurf, prm.sref, f_local, prm.ocdepth,
                      rfac, a1j, a2j, first_v,
                      prm.relax_sst, frc.sst0, frc.fcorr_twod,
                      prm.relax_ocnt, prm.relax_sal, st.fcorr]
+            cols += adv_coef
             cols += [zero] * (fp.NSC - len(cols))
             return jnp.stack([jnp.asarray(cc, dtype) for cc in cols],
                              axis=zaxis)

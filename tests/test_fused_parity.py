@@ -88,7 +88,36 @@ FEATURE_CASES = {
     "fcorr_withz": {"forcing_kw": {"l_fcorr_withz": True}},
     "relax_ocnt_sal": {"boundary_kw": {"l_relax_ocnt": True,
                                        "l_relax_sal": True}},
+    "advect": {"boundary_kw": {"l_advect": True}},
 }
+
+
+def _advection_params(prm, dtype):
+    """Mixed rhsmod modes 1-7 across the 3 columns (solvers.F90:176-335);
+    temperature-scalar modes are configured but must be IGNORED (the
+    reference's ocnint applies rhsmod only for n=2,
+    mckpp_physics_ocnint_mod.F90:179-184).  Chains with
+    test_oracle_trajectory.py::test_trajectory_with_advection (per-column
+    path vs the independent oracle) to pin the fused kernel's in-kernel
+    rhsmod to the reference semantics."""
+    nmode = np.zeros((NCOL, 2), np.int32)
+    mode = np.zeros((NCOL, 6, 2), np.int32)
+    mag = np.zeros((NCOL, 6, 2))
+    nmode[0, 1] = 2
+    mode[0, :2, 1] = [1, 3]
+    mag[0, :2, 1] = [2.0e-6, -1.0e-6]
+    nmode[1, 1] = 2
+    mode[1, :2, 1] = [2, 4]
+    mag[1, :2, 1] = [1.5e-6, 1.0e-6]
+    nmode[2, 1] = 3
+    mode[2, :3, 1] = [5, 6, 7]
+    mag[2, :3, 1] = [1.0e-6, 2.0e-6, -5.0e-7]
+    nmode[:, 0] = 1
+    mode[:, 0, 0] = 3
+    mag[:, 0, 0] = 50.0
+    return dataclasses.replace(
+        prm, nmodeadv=jnp.asarray(nmode), modeadv=jnp.asarray(mode),
+        advection=jnp.asarray(mag, dtype))
 
 
 @pytest.mark.slow
@@ -117,6 +146,9 @@ def test_fused_matches_reference_trajectory(case):
         fz = jnp.tile(jnp.asarray(np.linspace(30.0, 0.0, NZ + 1)), (NCOL, 1))
         frc_r = dataclasses.replace(frc_r, fcorr_withz=fz)
         frc_f = dataclasses.replace(frc_f, fcorr_withz=fz)
+    if kw.get("boundary_kw", {}).get("l_advect"):
+        prm_r = _advection_params(prm_r, model_r.dtype)
+        prm_f = _advection_params(prm_f, model_f.dtype)
 
     out_r = run_steps(model_r, st_r, prm_r, frc_r, n=4)
     out_f = run_steps(model_f, st_f, prm_f, frc_f, n=4)
@@ -159,12 +191,18 @@ def test_fused_instability_trap_and_damping_parity():
     assert_states_close(out_f, out_r, rtol=1e-9)
 
 
-def test_pallas_interpret_matches_fused_xla():
+@pytest.mark.parametrize("case", ["default", "advect"])
+def test_pallas_interpret_matches_fused_xla(case):
     """The identical kernel body under the Pallas interpreter (what runs on
-    TPU, minus Mosaic codegen) must match the traced XLA path."""
-    model_f, st_f, prm_f, frc_f = build("fused_xla")
+    TPU, minus Mosaic codegen) must match the traced XLA path — including
+    the in-kernel advection (rhsmod) bases."""
+    kw = {"boundary_kw": {"l_advect": True}} if case == "advect" else {}
+    model_f, st_f, prm_f, frc_f = build("fused_xla", **kw)
     model_p, st_p, prm_p, frc_p = build(
-        "pallas_interpret", physics_kw={"pass_block": NCOL})
+        "pallas_interpret", physics_kw={"pass_block": NCOL}, **kw)
+    if case == "advect":
+        prm_f = _advection_params(prm_f, model_f.dtype)
+        prm_p = _advection_params(prm_p, model_p.dtype)
     out_f = run_steps(model_f, st_f, prm_f, frc_f, n=2)
     out_p = run_steps(model_p, st_p, prm_p, frc_p, n=2)
     assert_states_close(out_p, out_f, rtol=1e-12, atol=1e-14)

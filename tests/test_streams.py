@@ -56,6 +56,55 @@ def test_parse_iodef(tmp_path):
                           ("hmix_max", "hmix", "maximum"))
 
 
+def test_parse_reference_iodef_verbatim():
+    """The reference job's ACTUAL iodef.xml (byte-identical copy at
+    tests/data/reference_iodef.xml) must ingest unmodified — including the
+    raw ``<`` XIOS tolerates inside the comp_flag long_name attribute
+    (run/iodef.xml:80) — into its 5 streams: 1h instant, 3h mean/min/max,
+    and the 3h 35-field all-diags file, all split daily
+    (run/iodef.xml:88-157)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "reference_iodef.xml")
+    streams = parse_iodef(path, 1200.0)       # TerraMaris dto = 1200 s
+    assert [s.name for s in streams] == [
+        "output_kpp", "output_kpp_means", "output_kpp_min",
+        "output_kpp_max", "output_kpp_all"]
+    by_name = {s.name: s for s in streams}
+    inst = by_name["output_kpp"]
+    assert inst.freq == 3 and inst.split_freq_days == 1.0
+    assert inst.entries == (("T_inst", "T", "instant"),
+                            ("S_inst", "S", "instant"),
+                            ("hmix_inst", "hmix", "instant"))
+    for nm, op in (("output_kpp_means", "average"),
+                   ("output_kpp_min", "minimum"),
+                   ("output_kpp_max", "maximum")):
+        s = by_name[nm]
+        assert s.freq == 9 and s.split_freq_days == 1.0
+        assert s.reduction == op
+        assert [src for _, src, _ in s.entries] == ["T", "S", "hmix"]
+    alld = by_name["output_kpp_all"]
+    assert alld.freq == 9 and alld.split_freq_days == 1.0
+    assert alld.reduction == "instant" and len(alld.entries) == 35
+    from mckpp_tpu.io.diagnostics import DEPTH_FIELDS, SURFACE_FIELDS
+    assert set(src for _, src, _ in alld.entries) == \
+        set(DEPTH_FIELDS + SURFACE_FIELDS)
+
+
+def test_sanitize_xml_roundtrip():
+    """Well-formed XML is unchanged; raw < / & inside attribute values are
+    escaped; comments with quotes/apostrophes are left alone."""
+    from mckpp_tpu.io.streams import _sanitize_xml
+    good = IODEF
+    assert _sanitize_xml(good) == good
+    bad = ('<!-- don\'t "quote" me <x> -->\n'
+           '<a name="x<0 & y>1 &amp; z &lt;2"><b/></a>')
+    fixed = _sanitize_xml(bad)
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(fixed)
+    assert root.get("name") == "x<0 & y>1 & z <2"
+
+
 def test_parse_iodef_unknown_field(tmp_path):
     p = tmp_path / "bad.xml"
     p.write_text('<x><file name="f" output_freq="1h">'
