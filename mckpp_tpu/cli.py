@@ -49,6 +49,13 @@ def main(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize, shard the "
                         "column axis over every chip of every host")
+    p.add_argument("--output-mode", choices=["single", "shard"],
+                   default="single",
+                   help="diagnostic writes: 'single' gathers each emitted "
+                        "window to process 0 (XIOS one_file); 'shard' has "
+                        "every process write its own row slab with zero "
+                        "cross-host transfer (XIOS multiple_file) — merge "
+                        "with tools/merge_shards.py")
     args = p.parse_args(argv)
 
     if args.distributed:
@@ -142,7 +149,7 @@ def main(argv=None):
         streams, cfg.domain.nx, cfg.domain.ny,
         model.grid.zm, outdir=args.output_dir,
         start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto,
-        l_ocean=l_ocean_np)
+        l_ocean=l_ocean_np, write_mode=args.output_mode)
     if layout is not None:
         diag.set_layout(layout)
     restart = RestartControl(
@@ -154,6 +161,58 @@ def main(argv=None):
     timers.stop("Initialization")
 
     num_steps = args.steps or cfg.time.num_timesteps
+    _snapshot = jax.jit(
+        lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+
+    # Flux prefetch: the next flux-cadence step's file read + host->device
+    # transfer runs on a background thread while the model steps (the
+    # reference reads synchronously every ndtocn, mckpp_fluxes_mod.F90:35;
+    # here the read+put latency — significant through a slow host link —
+    # overlaps compute).  One-slot lookahead keeps memory bounded.
+    from concurrent.futures import ThreadPoolExecutor
+    _flux_exec = ThreadPoolExecutor(max_workers=1)
+    _flux_next = {}                    # time_days -> Future
+
+    def _flux_at(time_days):
+        fut = _flux_next.pop(time_days, None)
+        if fut is not None:
+            return fut.result()
+        if flux_provider is not None:
+            return flux_provider(time_days)
+        return forcing_mod.constant_test_fluxes(ncol, model.dtype)
+
+    def _flux_schedule(time_days):
+        if flux_provider is None or time_days in _flux_next:
+            return
+        _flux_next[time_days] = _flux_exec.submit(flux_provider, time_days)
+
+    # Background pre-compile of the with_diags variant the FIRST step does
+    # not use: its trace+compile overlaps the loop's early steps instead of
+    # stalling the loop when the cadence first flips (the compiled
+    # executable lands in the persistent cache, which the loop's own jit
+    # call then deserializes).  The variant step 1 needs is compiled by
+    # step 1 itself — racing a duplicate would only burn CPU.
+    first_full = (diag.needs_full(1)
+                  or (cfg.output.l_restartw and restart.due(1)))
+    other_variant = not first_full
+
+    def _precompile_other():
+        try:
+            sds = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                (st, prm, frc))
+            fs = jax.ShapeDtypeStruct((), jnp.bool_)
+            if layout is not None:
+                sharded._jitted.lower(*sds, fs, other_variant).compile()
+            else:
+                model._step_jit.lower(*sds, fs,
+                                      with_diags=other_variant).compile()
+        except Exception as e:           # best-effort warm-up only
+            mckpp_print(routine, f"background pre-compile skipped: {e}")
+
+    if num_steps > 1:
+        import threading
+        threading.Thread(target=_precompile_other, daemon=True).start()
     mckpp_print(routine, f"timestepping loop: {num_steps} steps")
     import time as _time
     t_half = None
@@ -166,12 +225,13 @@ def main(argv=None):
         time_days = cfg.time.startt + (nt - 1) * cfg.time.dto / 86400.0
         if (nt - 1) % cfg.time.ndtocn == 0:
             timers.start("Update surface fluxes")
-            if flux_provider is not None:
-                raw = flux_provider(time_days)
-            else:
-                raw = forcing_mod.constant_test_fluxes(ncol, model.dtype)
+            raw = _flux_at(time_days)
             st, frc = forcing_mod.update_fluxes(
                 cfg, st, prm, frc, raw, jnp.asarray(nt <= 1), model.grid.dm)
+            nt_next = nt + cfg.time.ndtocn
+            if nt_next <= num_steps:
+                _flux_schedule(cfg.time.startt
+                               + (nt_next - 1) * cfg.time.dto / 86400.0)
             timers.stop("Update surface fluxes")
         if nt != 1:
             timers.start("Update ancillaries")
@@ -194,7 +254,23 @@ def main(argv=None):
         timers.stop("Diagnostic output")
         timers.start("Restart output")
         if cfg.output.l_restartw and restart.due(nt):
-            restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
+            # detached restart writes (the reference stamps restarts
+            # through the same detached XIOS path as diagnostics,
+            # mckpp_xios_control.F90:61-83): the loop thread never blocks
+            # on the fetch/encode.
+            if jax.process_count() > 1:
+                # the cross-host gather is a collective — run it here,
+                # synchronously; only the encode is detached
+                restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
+            elif layout is not None:
+                # the sharded step DONATES its state buffers, so the
+                # background fetch needs its own on-device copies
+                # (a cheap HBM copy, ~ms) — fetch+encode then run
+                # entirely off the loop thread
+                restart.maybe_write(nt, _snapshot(st), prm, frc,
+                                    fetch=layout.gather_tree)
+            else:
+                restart.maybe_write(nt, st, prm, frc)
         timers.stop("Restart output")
 
     jax.block_until_ready(jax.tree_util.tree_leaves(st))
@@ -206,7 +282,11 @@ def main(argv=None):
                     f"({ncol * n2 / dt2:.1f} column-steps/s)")
     paths = diag.flush()
     mckpp_print(routine, f"wrote diagnostics: {sorted(paths.values())}")
-    mckpp_print(routine, f"wrote restarts: {restart.written}")
+    mckpp_print(routine, f"diag emit gathers: {diag.emit_gathers}")
+    timers.start("Restart output")
+    written = restart.flush()
+    timers.stop("Restart output")
+    mckpp_print(routine, f"wrote restarts: {written}")
     print(timers.report())
     return 0
 

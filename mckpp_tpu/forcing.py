@@ -69,7 +69,10 @@ def ntflux(st: State, frc: Forcing, prm: ColumnParams, dm, first_step) -> State:
     """Refresh the non-turbulent solar flux profile from current rho/cp
     (reference: mckpp_fluxes_ntflux, mckpp_fluxes_mod.F90:93-118).
     Batched over columns; only wet columns are updated."""
-    swdk_new = jax.vmap(lambda j: swdk(-dm, j))(prm.jerlov)
+    # cast: the Jerlov decay constants are float64, which under
+    # jax_enable_x64 would silently promote an f32 model's swdk cache
+    swdk_new = jax.vmap(lambda j: swdk(-dm, j))(prm.jerlov) \
+        .astype(st.swdk_opt.dtype)
     swdk_opt = jnp.where(first_step, swdk_new, st.swdk_opt)
     wxnt0 = (-frc.sflux[:, 2:3] * swdk_opt
              / (st.rho[:, 0:1] * st.cp[:, 0:1]))

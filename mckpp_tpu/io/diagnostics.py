@@ -129,7 +129,20 @@ class DiagnosticsManager:
     def __init__(self, streams: List[Stream], nx: int, ny: int, zm,
                  outdir: str = ".", start_time_days: float = 0.0,
                  dto_seconds: float = 0.0, l_ocean=None,
-                 async_write: bool = True):
+                 async_write: bool = True, write_mode: str = "single"):
+        """``write_mode``: "single" gathers every emitted window to process
+        0, the lone writer (XIOS one_file); "shard" has EACH process write
+        its own row slab to ``<stream>[_<split>]_p<rank>.nc`` with no
+        cross-host transfer at all (XIOS multiple_file,
+        run/iodef.xml:88 type= attribute) — merge afterwards with
+        :func:`merge_shard_files`.  At pod scale "shard" removes the
+        process-0 gather+encode funnel from the critical path."""
+        if write_mode not in ("single", "shard"):
+            raise ValueError(f"write_mode {write_mode!r}")
+        self.write_mode = write_mode
+        self.emit_gathers = 0         # cross-host allgathers performed on
+                                      # emit (stays 0 in shard mode; tests
+                                      # and the CLI report it)
         self.streams = streams
         self.nx, self.ny = nx, ny
         self.zm = np.asarray(zm)
@@ -239,11 +252,15 @@ class DiagnosticsManager:
         if instant_fields:
             acc.update(instant_fields)
         cnt = self._count[s.name]
-        if self.layout is not None and jax.process_count() > 1:
-            # multi-host: the cross-host allgather is a collective and
-            # must not race the step loop's collectives from the writer
-            # thread — gather synchronously, once per emitted window
+        if self.layout is not None and jax.process_count() > 1 \
+                and self.write_mode == "single":
+            # multi-host single-writer: the cross-host allgather is a
+            # collective and must not race the step loop's collectives
+            # from the writer thread — gather synchronously, once per
+            # emitted window.  (shard mode never gathers: each process
+            # fetches only its own device shards, on the writer thread.)
             acc = {k: self.layout.gather(v) for k, v in acc.items()}
+            self.emit_gathers += len(acc)
         # single-process: keep device arrays; the writer thread fetches
         # them (layout-aware in _materialize), overlapping the
         # device->host transfer with subsequent compute
@@ -262,19 +279,34 @@ class DiagnosticsManager:
         self._accum[s.name] = None
         self._count[s.name] = 0
 
+    def _shard_rows(self):
+        """This process's [lo, hi) of the unpadded domain (shard mode)."""
+        npts = self.nx * self.ny
+        if self.layout is None:
+            return 0, npts
+        return self.layout.local_rows(npts)
+
     def _materialize(self, packed):
         acc, cnt, ops = packed
+        sharded = self.write_mode == "shard" and self.layout is not None
+        mask = self.mask
+        if sharded and mask is not None:
+            lo_u, hi_u = self._shard_rows()
+            mask = mask[lo_u:hi_u]
         rec = {}
         for k, v in acc.items():
-            if self.layout is not None and isinstance(v, jax.Array):
+            if sharded and isinstance(v, jax.Array):
+                a = self.layout.local_shard(v)   # own shards only, no
+                                                 # collective
+            elif self.layout is not None and isinstance(v, jax.Array):
                 a = self.layout.gather(v)      # unpads; 1-process fetch
             else:
                 a = np.asarray(v)
             if ops[k] == "average":
                 a = a / cnt
-            if self.mask is not None:
+            if mask is not None:
                 a = a.copy()
-                a[self.mask, ...] = FILL_VALUE
+                a[mask, ...] = FILL_VALUE
             rec[k] = a
         return rec
 
@@ -286,8 +318,8 @@ class DiagnosticsManager:
             return None
         self._records[s.name] = []
         split_idx = self._split_idx[s.name]
-        if self.layout is not None and jax.process_count() > 1 \
-                and jax.process_index() != 0:
+        if self.write_mode == "single" and self.layout is not None \
+                and jax.process_count() > 1 and jax.process_index() != 0:
             return None            # single writer: process 0 owns the files
         if self._writer is not None:
             self._pending.append(
@@ -300,25 +332,47 @@ class DiagnosticsManager:
         times = [t for t, _ in recs]
         nt = len(recs)
         nzp1 = len(self.zm)
-        dims = {"time": nt, "z": nzp1, "y": self.ny, "x": self.nx}
+        sharded = self.write_mode == "shard" and self.layout is not None
+        shard_suffix = ""
+        attrs = {"reduction": s.reduction.encode(),
+                 "fill_value": FILL_VALUE}
+        if sharded:
+            # per-process slab on a flat "points" dim (the XIOS
+            # multiple_file layout): rows [lo, hi) of the flattened
+            # (y, x) domain, recorded as attrs for merge_shard_files
+            lo_u, hi_u = self._shard_rows()
+            rank = jax.process_index()
+            shard_suffix = f"_p{rank}"
+            dims = {"time": nt, "z": nzp1, "points": hi_u - lo_u}
+            attrs.update(shard_lo=lo_u, shard_hi=hi_u,
+                         shard_nx=self.nx, shard_ny=self.ny,
+                         shard_rank=rank,
+                         shard_count=jax.process_count())
+        else:
+            dims = {"time": nt, "z": nzp1, "y": self.ny, "x": self.nx}
         coords = {"time": ("time", times), "z": ("z", self.zm)}
         fields = {}
         for name in recs[0][1]:
             sample = recs[0][1][name]
-            if sample.ndim == 2:          # (ncol, nzp1)
-                arr = np.stack([r[name] for _, r in recs])
+            arr = np.stack([r[name] for _, r in recs])
+            if sharded:
+                if sample.ndim == 2:      # (rows, nzp1)
+                    fields[name] = (("time", "z", "points"),
+                                    np.moveaxis(arr, -1, 1))
+                else:
+                    fields[name] = (("time", "points"), arr)
+            elif sample.ndim == 2:        # (ncol, nzp1)
                 arr = arr.reshape(nt, self.ny, self.nx, nzp1)
                 arr = np.moveaxis(arr, -1, 1)
                 fields[name] = (("time", "z", "y", "x"), arr)
             else:
-                arr = np.stack([r[name] for _, r in recs])
                 fields[name] = (("time", "y", "x"),
                                 arr.reshape(nt, self.ny, self.nx))
         if s.split_freq_days:
             split_start = self.start + split_idx * s.split_freq_days
-            fname = f"{s.name}_{split_start:09.3f}.nc"
+            fname = f"{s.name}_{split_start:09.3f}{shard_suffix}.nc"
         else:
-            fname = f"{s.name}.nc"
+            fname = f"{s.name}{shard_suffix}.nc"
         path = os.path.join(self.outdir, fname)
         os.makedirs(self.outdir, exist_ok=True)
         # self-describing time metadata: XIOS stamps a Gregorian calendar
@@ -335,9 +389,7 @@ class DiagnosticsManager:
         if self.mask is not None:
             for name in fields:
                 var_attrs[name] = {"_FillValue": FILL_VALUE}
-        ncio.write_fields(path, dims, coords, fields,
-                          attrs={"reduction": s.reduction.encode(),
-                                 "fill_value": FILL_VALUE},
+        ncio.write_fields(path, dims, coords, fields, attrs=attrs,
                           var_attrs=var_attrs)
         with self._plock:
             self.paths[fname if s.split_freq_days else s.name] = path
@@ -352,6 +404,74 @@ class DiagnosticsManager:
             fut.result()
         self._pending = []
         return self.paths
+
+
+def merge_shard_files(shard_paths, out_path: str) -> str:
+    """Reassemble per-process shard files (``<stream>[_<split>]_pN.nc``,
+    written by ``write_mode='shard'``) into the single-writer
+    ``(time, z, y, x)`` layout — the offline half of the XIOS
+    multiple_file workflow.  Values are byte-identical to what the
+    single-writer path would have produced: the temporal reductions are
+    per-column, so concatenating row slabs loses nothing."""
+    from scipy.io import netcdf_file
+
+    def iattr(nc, name):        # attrs may round-trip as float or array
+        return int(np.asarray(getattr(nc, name)).ravel()[0])
+
+    ncs = [netcdf_file(str(p), "r", mmap=False) for p in shard_paths]
+    try:
+        ncs.sort(key=lambda nc: iattr(nc, "shard_lo"))
+        head = ncs[0]
+        nx, ny = iattr(head, "shard_nx"), iattr(head, "shard_ny")
+        npts = nx * ny
+        covered = sorted((iattr(nc, "shard_lo"), iattr(nc, "shard_hi"))
+                         for nc in ncs)
+        pos = 0
+        for lo, hi in covered:
+            if lo != pos:
+                raise ValueError(f"shard files do not tile the domain: gap "
+                                 f"at rows [{pos}, {lo})")
+            pos = hi
+        if pos != npts:
+            raise ValueError(f"shard files cover rows [0, {pos}) of {npts}")
+        times = np.asarray(head.variables["time"][:], np.float64).copy()
+        zvals = np.asarray(head.variables["z"][:], np.float64).copy()
+        nt, nzp1 = len(times), len(zvals)
+        dims = {"time": nt, "z": nzp1, "y": ny, "x": nx}
+        coords = {"time": ("time", times), "z": ("z", zvals)}
+
+        def var_attrs_of(v):
+            return {k: val for k, val in v._attributes.items()}
+
+        var_attrs = {"time": var_attrs_of(head.variables["time"]),
+                     "z": var_attrs_of(head.variables["z"])}
+        fields = {}
+        for name, v in head.variables.items():
+            if name in ("time", "z"):
+                continue
+            depth = v.data.ndim == 3
+            shape = (nt, nzp1, npts) if depth else (nt, npts)
+            full = np.empty(shape, np.float64)
+            for nc in ncs:
+                lo, hi = iattr(nc, "shard_lo"), iattr(nc, "shard_hi")
+                full[..., lo:hi] = nc.variables[name][:]
+            if depth:
+                fields[name] = (("time", "z", "y", "x"),
+                                full.reshape(nt, nzp1, ny, nx))
+            else:
+                fields[name] = (("time", "y", "x"),
+                                full.reshape(nt, ny, nx))
+            va = var_attrs_of(v)
+            if va:
+                var_attrs[name] = va
+        attrs = {k: val for k, val in head._attributes.items()
+                 if not k.startswith("shard_")}
+    finally:
+        for nc in ncs:
+            nc.close()
+    ncio.write_fields(out_path, dims, coords, fields, attrs=attrs,
+                      var_attrs=var_attrs)
+    return out_path
 
 
 def default_streams(dto_seconds: float = 1200.0,

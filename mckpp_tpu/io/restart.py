@@ -177,11 +177,20 @@ def import_reference_restart(path: str, st: State, prm: ColumnParams,
 class RestartControl:
     """Restart-write cadence (reference: mckpp_restart_control,
     mckpp_xios_control.F90:61-83): write every ndt_per_restart steps and at
-    the final step."""
+    the final step.
+
+    Writes are detached from the step loop (``async_write``), like the
+    reference's XIOS-server restart path: ``maybe_write`` hands the state
+    to a background thread which performs the device->host fetch (via the
+    optional ``fetch`` callable) and the .npz/NetCDF encode, so the loop
+    never blocks on restart I/O.  The caller must pass state the next step
+    will NOT donate — on a donating step path, an on-device snapshot
+    (cheap HBM copy) — or pre-gathered host arrays."""
 
     def __init__(self, outfile: str, ndt_per_restart: int, num_timesteps: int,
                  dto: float, start_days: float,
-                 netcdf_grid: Optional[Tuple[int, int]] = None):
+                 netcdf_grid: Optional[Tuple[int, int]] = None,
+                 async_write: bool = True):
         """``netcdf_grid=(nx, ny)`` additionally writes each restart in
         the reference's NetCDF format (field list of
         mckpp_xios_io.F90:406-433) next to the exact .npz."""
@@ -192,6 +201,10 @@ class RestartControl:
         self.start = start_days
         self.netcdf_grid = netcdf_grid
         self.written = []
+        from concurrent.futures import ThreadPoolExecutor
+        self._writer = ThreadPoolExecutor(max_workers=1) if async_write \
+            else None
+        self._pending = []
 
     def due(self, nt: int) -> bool:
         """True when step nt writes a restart — callers on the sharded
@@ -199,20 +212,37 @@ class RestartControl:
         steps perform no cross-host transfers."""
         return bool(self.cadence and nt % self.cadence == 0) or nt == self.last
 
-    def maybe_write(self, nt: int, st, prm, frc):
+    def _write(self, nt, st, prm, frc, fetch):
+        if fetch is not None:
+            st, prm, frc = fetch(st), fetch(prm), fetch(frc)
+        t = self.start + (nt - 1) * self.dto / 86400.0
+        p = save_restart(self.outfile, st, prm, frc, nt, t, self.dto)
+        self.written.append(p)
+        if self.netcdf_grid is not None:
+            nx, ny = self.netcdf_grid
+            valid = t + self.dto / 86400.0
+            pn = export_reference_restart(
+                f"{self.outfile}_{valid:012.5f}.nc", st, prm,
+                nx, ny, t, self.dto)
+            self.written.append(pn)
+        return p
+
+    def maybe_write(self, nt: int, st, prm, frc, fetch=None):
         if self.due(nt):
             import jax
             if jax.process_count() > 1 and jax.process_index() != 0:
                 return None        # single writer: process 0 owns the file
-            t = self.start + (nt - 1) * self.dto / 86400.0
-            p = save_restart(self.outfile, st, prm, frc, nt, t, self.dto)
-            self.written.append(p)
-            if self.netcdf_grid is not None:
-                nx, ny = self.netcdf_grid
-                valid = t + self.dto / 86400.0
-                pn = export_reference_restart(
-                    f"{self.outfile}_{valid:012.5f}.nc", st, prm,
-                    nx, ny, t, self.dto)
-                self.written.append(pn)
-            return p
+            if self._writer is not None:
+                self._pending.append(
+                    self._writer.submit(self._write, nt, st, prm, frc,
+                                        fetch))
+                return None
+            return self._write(nt, st, prm, frc, fetch)
         return None
+
+    def flush(self):
+        """Wait for queued restart writes; returns the paths written."""
+        for fut in self._pending:
+            fut.result()            # surfaces writer-thread exceptions
+        self._pending = []
+        return self.written

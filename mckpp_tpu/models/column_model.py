@@ -212,6 +212,12 @@ class KppModel:
                 old=jnp.asarray(0, jnp.int32), new=jnp.asarray(1, jnp.int32))
 
         new_st = jax.vmap(per_col)(st, prm, frc)
+        # pin declared dtypes: under jax_enable_x64 (the f64 parity mode's
+        # process setting) float64 constants inside swfrac/vmix silently
+        # promote some initialized fields, and _select's where() would
+        # propagate the promotion into an f32 model's state
+        new_st = jax.tree_util.tree_map(
+            lambda a, b: a.astype(b.dtype), new_st, st)
         return _select(prm.run_physics, new_st, st)
 
     # ------------------------------------------------------------------

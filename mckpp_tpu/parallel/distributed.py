@@ -12,7 +12,10 @@ run/KPPocean.slurm:5-20).  Columns never exchange state, so the design is:
   the global sharded array with ``jax.make_array_from_process_local_data``
   (host -> its own chips only; no cross-host data motion on the read path);
 * diagnostics/restart gather with ``multihost_utils.process_allgather``
-  only when a single writer is wanted, else each host writes its shard.
+  only when a single writer is wanted (write_mode="single", XIOS
+  one_file); with write_mode="shard" each host writes its own row slab
+  with no collective at all (XIOS multiple_file; merge offline with
+  tools/merge_shards.py).
 
 Single-process (1 host, N chips — or the CPU virtual-device test mesh) is
 the degenerate case of the same code path.
@@ -191,6 +194,22 @@ class ColumnLayout:
         from jax.experimental import multihost_utils
         full = multihost_utils.process_allgather(arr, tiled=True)
         return np.asarray(full)[: self.ncol_unpadded]
+
+    def local_shard(self, arr) -> np.ndarray:
+        """This process's rows [lo, min(hi, npts)) of a sharded array,
+        fetched from its OWN addressable device shards only — a pure
+        device->host copy, NO collective.  The per-host write path
+        (write_mode='shard', the XIOS multiple_file analog) uses this so
+        emits never synchronize processes."""
+        if isinstance(arr, jax.Array) and jax.process_count() > 1:
+            shards = sorted(arr.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            loc = np.concatenate([np.asarray(s.data) for s in shards],
+                                 axis=0)
+        else:
+            loc = np.asarray(arr)[self.lo:self.hi]
+        lo_u, hi_u = self.local_rows(self.ncol_unpadded)
+        return loc[: hi_u - lo_u]
 
     def gather_tree(self, tree):
         return jax.tree_util.tree_map(self.gather, tree)

@@ -100,4 +100,5 @@ def make_sharded_step(model, mesh: Mesh):
     def wrapper(st, prm, frc, first_step, with_diags=True):
         return jitted(st, prm, frc, first_step, bool(with_diags))
 
+    wrapper._jitted = jitted        # AOT access (background pre-compile)
     return wrapper

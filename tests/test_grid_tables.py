@@ -101,3 +101,24 @@ def test_swfrac_deep_clipping():
     v = swfrac(1.0, jnp.asarray(-1.0e5), 0)
     expect = 0.58 * np.exp(-80.0) + 0.42 * np.exp(-80.0)
     np.testing.assert_allclose(float(v), expect, rtol=1e-12)
+
+
+def test_cbrt_accuracy():
+    """ops/wscale._cbrt (pow form — measured faster than a bit-trick
+    Halley cbrt on the VPU, see its docstring) matches true cbrt to a few
+    ulps in f32, handles signs and zero, and is exact-ish in f64."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mckpp_tpu.ops.wscale import _cbrt
+
+    x = np.logspace(-30, 30, 100000).astype(np.float32)
+    got = np.asarray(_cbrt(jnp.asarray(x)))
+    want = np.cbrt(x.astype(np.float64))
+    rel = np.abs(got - want) / want
+    assert rel.max() < 1e-6, rel.max()
+    neg = np.asarray(_cbrt(jnp.asarray(-x)))
+    np.testing.assert_array_equal(neg, -got)
+    assert float(_cbrt(jnp.asarray(0.0, jnp.float32))) == 0.0
+    x64 = jnp.asarray([8.0, -27.0], jnp.float64)
+    np.testing.assert_allclose(np.asarray(_cbrt(x64)), [2.0, -3.0],
+                               rtol=1e-12)

@@ -238,6 +238,7 @@ def test_restart_control_netcdf_export(tmp_path):
                             netcdf_grid=(4, 1))
     st2 = model.step(st, prm, frc, first_step=True)
     rc.maybe_write(2, st2, prm, frc)
+    rc.flush()                      # async by default: wait for the writer
     ncs = [p for p in rc.written if p.endswith(".nc")]
     npzs = [p for p in rc.written if p.endswith(".npz")]
     assert len(ncs) == 1 and len(npzs) == 1

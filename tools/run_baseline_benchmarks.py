@@ -135,6 +135,7 @@ def run_ensemble(workdir, steps, n_members=10):
     st, prm, frc = ens.make_ensemble(st, prm, frc, n_members,
                                      perturb=perturb, key=key)
     ncol = st.u.shape[0]
+    l_ocean_rep = np.asarray(prm.l_ocean)
     # pad for the Pallas tile
     from mckpp_tpu.parallel import sharding as sh
     from mckpp_tpu.parallel import distributed as dist
@@ -151,6 +152,28 @@ def run_ensemble(workdir, steps, n_members=10):
         return jax.tree_util.tree_map(
             lambda a: layout.global_array(np.asarray(a), local=False), rep)
 
+    # FULL output path, like the CLI configs (VERDICT r3 item 7): the
+    # reference-shaped iodef streams over all members (members stack on
+    # the column axis, so the output grid is (ny*members, nx)), plus
+    # daily restarts through the detached writer.
+    from mckpp_tpu.io.diagnostics import DiagnosticsManager
+    from mckpp_tpu.io.streams import parse_iodef
+    from mckpp_tpu.io.restart import RestartControl
+    nx, ny, nz = domain_of("ensemble10_dd")
+    out = os.path.join(d, "out")
+    os.makedirs(out, exist_ok=True)
+    streams = parse_iodef(f"{d}/iodef.xml", cfg.time.dto)
+    diag = DiagnosticsManager(
+        streams, nx, ny * n_members, model.grid.zm, outdir=out,
+        start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto,
+        l_ocean=l_ocean_rep)
+    diag.set_layout(layout)
+    restart = RestartControl(f"{out}/restart_out",
+                             cfg.output.ndt_per_restart, steps,
+                             cfg.time.dto, cfg.time.startt)
+    snapshot = jax.jit(lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+
+    t_phys = t_diag = t_rst = 0.0
     t0 = time.perf_counter()
     for nt in range(1, steps + 1):
         time_days = (nt - 1) * cfg.time.dto / 86400.0
@@ -158,17 +181,37 @@ def run_ensemble(workdir, steps, n_members=10):
             st, frc = forcing_mod.update_fluxes(
                 cfg, st, prm, frc, rep_flux(time_days),
                 jnp.asarray(nt <= 1), model.grid.dm)
-        st = model.step(st, prm, frc, first_step=(nt <= 1))
+        need_full = diag.needs_full(nt) or restart.due(nt)
+        tp = time.perf_counter()
+        st = model.step(st, prm, frc, first_step=(nt <= 1),
+                        with_diags=need_full)
+        t_phys += time.perf_counter() - tp
+        tp = time.perf_counter()
+        diag.step(nt, st, prm, frc)
+        t_diag += time.perf_counter() - tp
+        tp = time.perf_counter()
+        if restart.due(nt):
+            restart.maybe_write(nt, snapshot(st), prm, frc,
+                                fetch=layout.gather_tree)
+        t_rst += time.perf_counter() - tp
     jax.block_until_ready(st)
+    paths = diag.flush()
+    written = restart.flush()
     wall = time.perf_counter() - t0
-    nx, ny, nz = domain_of("ensemble10_dd")
+    n_out = len([f for f in os.listdir(out) if f.endswith(".nc")])
     return {
         "config": "ensemble10_dd", "ncol": nx * ny * n_members, "nz": nz,
         "steps": steps, "members": n_members,
         "model_loop_s": round(wall, 2),
+        "physics_s": round(t_phys, 2),
+        "diag_s": round(t_diag, 2),
+        "restart_s": round(t_rst, 2),
         "col_steps_per_s_wall": round(nx * ny * n_members * steps / wall, 1),
+        "output_files": n_out,
+        "restarts": len(written),
         "note": "library driver (ensemble.make_ensemble), ddmix on, "
-                "full-step mode, no diagnostics",
+                "full diagnostics (reference iodef streams over all "
+                "members) + detached restarts",
     }
 
 
