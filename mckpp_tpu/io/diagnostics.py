@@ -273,9 +273,17 @@ class DiagnosticsManager:
             if self._records[s.name] and k != self._split_idx[s.name]:
                 self._write_split(s)
             self._split_idx[s.name] = k
-        # keep device arrays; the fetch/normalize happens on the writer
         ops = {out: op for out, _, op in s.resolved_entries()}
-        self._records[s.name].append((t, (acc, cnt, ops)))
+        packed = (acc, cnt, ops)
+        if self._writer is not None:
+            # materialize EAGERLY on the writer thread: the device->host
+            # fetch of this window overlaps subsequent compute instead of
+            # piling up at flush (with daily splits every window of the
+            # day would otherwise fetch at exit), and the device buffers
+            # free as soon as the copy lands — holding a whole day of
+            # records in HBM OOMs large configs (648k-column ensemble)
+            packed = self._writer.submit(self._materialize, packed)
+        self._records[s.name].append((t, packed))
         self._accum[s.name] = None
         self._count[s.name] = 0
 
@@ -328,7 +336,12 @@ class DiagnosticsManager:
             self._encode(s, recs, split_idx)
 
     def _encode(self, s: Stream, recs, split_idx):
-        recs = [(t, self._materialize(p)) for t, p in recs]
+        # resolve eagerly-materialized windows (their futures were queued
+        # on this same single writer thread BEFORE this encode job, so
+        # they are already complete — FIFO, no deadlock)
+        from concurrent.futures import Future
+        recs = [(t, p.result() if isinstance(p, Future)
+                 else self._materialize(p)) for t, p in recs]
         times = [t for t, _ in recs]
         nt = len(recs)
         nzp1 = len(self.zm)

@@ -131,3 +131,49 @@ def test_shard_write_mode_merges_to_single_writer_output(tmp_path):
         T = ncio.get_var(nc, "T")
         assert (T[:, :, 0, 5] == diag.FILL_VALUE).all()
         assert np.isfinite(T[:, :, 0, :5]).all() and (T[:, :, 0, :5] != diag.FILL_VALUE).all()
+
+
+def test_async_writer_materializes_off_the_loop_thread(tmp_path):
+    """With the production async writer, emitted windows materialize
+    EAGERLY on the writer thread (device buffers free promptly — holding a
+    day of records in HBM OOMed the 648k-column ensemble) and the loop
+    thread itself never fetches."""
+    import threading
+
+    ncol = 6
+    model, st, prm, frc = _build(ncol=ncol, nx=ncol)
+    mesh = sh.make_mesh(jax.devices()[:2])
+    main = threading.main_thread()
+    inner = dist.make_layout(ncol, mesh)
+
+    class ThreadCountingLayout(CountingLayout):
+        def __init__(self, inner):
+            super().__init__(inner)
+            self.main_thread_gathers = 0
+
+        def gather(self, arr):
+            if threading.current_thread() is main:
+                self.main_thread_gathers += 1
+            return super().gather(arr)
+
+    layout = ThreadCountingLayout(inner)
+    st_s = layout.shard_tree(st)
+    prm_s = layout.shard_tree(prm)
+    frc_s = layout.shard_tree(frc)
+    streams = [diag.Stream("a3", "average", 3, fields=("T", "hmix"))]
+    dm = diag.DiagnosticsManager(streams, nx=ncol, ny=1, zm=model.grid.zm,
+                                 outdir=str(tmp_path), dto_seconds=1200.0,
+                                 async_write=True)
+    dm.set_layout(layout)
+    for nt in range(1, 7):
+        dm.step(nt, st_s, prm_s, frc_s)
+    dm.flush()
+    assert layout.main_thread_gathers == 0
+    assert layout.gathers == 4          # 2 emits x 2 fields, writer thread
+    fields = diag.extract_fields(st, prm, frc)
+    from mckpp_tpu.io import ncio
+    with ncio.open_nc(str(tmp_path / "a3.nc")) as nc:
+        t_mean = ncio.get_var(nc, "T")
+    np.testing.assert_allclose(
+        t_mean[0].reshape(len(model.grid.zm), ncol).T,
+        np.asarray(fields["T"]), rtol=1e-12)
