@@ -22,7 +22,7 @@ DTSEC = 3600.0
 NDTOCN = 3
 
 
-def write_inputs(d, sst=False):
+def write_inputs(d, sst=False, advect=False):
     lons = 90.0 + 0.5 * np.arange(NX)
     lats = -5.0 + 0.5 * np.arange(NY)
     # land-sea mask: one land point
@@ -87,6 +87,32 @@ def write_inputs(d, sst=False):
 
     couple_extra = ""
     advec_extra = ""
+    advect_decl = "L_ADVECT=.F.,"
+    if advect:
+        # per-column steady advection corrections (reference file shape:
+        # mckpp_initialize_advection_mod.F90:14-69) — salt modes vary by
+        # column; temperature modes present but ignored by the physics
+        maxadv = 6
+        nmode_s = np.zeros((NY, NX)); nmode_s.flat[:3] = [1, 2, 1]
+        mode_s = np.zeros((maxadv, NY, NX)); adv_s = np.zeros((maxadv, NY, NX))
+        mode_s[0].flat[:3] = [1, 2, 5]
+        mode_s[1].flat[1] = 3
+        adv_s[0].flat[:3] = [2.0e-6, 1.5e-6, 1.0e-6]
+        adv_s[1].flat[1] = -1.0e-6
+        nmode_t = np.ones((NY, NX))
+        mode_t = np.zeros((maxadv, NY, NX)); mode_t[0, :, :] = 3
+        adv_t = np.zeros((maxadv, NY, NX)); adv_t[0, :, :] = 50.0
+        ncio.write_fields(
+            str(d / "advect.nc"),
+            {"mode": maxadv, "longitude": NX, "latitude": NY},
+            {"longitude": ("longitude", lons), "latitude": ("latitude", lats)},
+            {"nmode_tadv": (("latitude", "longitude"), nmode_t),
+             "nmode_sadv": (("latitude", "longitude"), nmode_s),
+             "mode_tadv": (("mode", "latitude", "longitude"), mode_t),
+             "mode_sadv": (("mode", "latitude", "longitude"), mode_s),
+             "tadv": (("mode", "latitude", "longitude"), adv_t),
+             "sadv": (("mode", "latitude", "longitude"), adv_s)})
+        advect_decl = "L_ADVECT=.T., advect_file='advect.nc',"
     if sst:
         # SST climatology on the ndtupdsst cadence (times at window centres)
         nsst = 30
@@ -124,7 +150,7 @@ def write_inputs(d, sst=False):
  dtsec={DTSEC}, startt=0.0, finalt=0.25, ndtocn={NDTOCN}
  &END
  &NAME_COUPLE L_COUPLE=.F.,{couple_extra} &END
- &NAME_ADVEC L_ADVECT=.F.,{advec_extra} &END
+ &NAME_ADVEC {advect_decl}{advec_extra} &END
  &NAME_PARAS
  paras_file='paras.nc', L_JERLOV=.T.
  &END
@@ -224,3 +250,51 @@ def test_cli_multi_device_with_ancillaries(tmp_path):
     np.testing.assert_allclose(f8, f1, rtol=1e-12, atol=1e-9)
     # relaxation must actually be active (non-vacuous): fcorr nonzero on sea
     assert np.any(f1 != 0.0), "SST relaxation produced no flux correction"
+
+
+def test_cli_advecting_run_ingests_advect_file(tmp_path):
+    """File-driven advection through the full stack: the namelist's
+    NAME_ADVEC group + advect file (reference shape,
+    mckpp_initialize_advection_mod.F90:14-69) load into per-column
+    rhsmod parameters, the production FUSED path accepts the config
+    (supports_fused since r4), and the salinity trajectory responds while
+    a no-advection twin does not."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mckpp_tpu.utils import namelist as nml2
+    from mckpp_tpu import setup as setup_mod
+
+    write_inputs(tmp_path, advect=True)
+    cfg, _ = nml2.load_config(str(tmp_path / "3D_ocn.nml"))
+    assert cfg.boundary.l_advect
+    model, st, prm, frc, flux_provider, mgr = setup_mod.build(
+        cfg, str(tmp_path))
+    assert model.pass_impl in ("fused_xla", "pallas"), model.pass_impl
+    # the file's per-column salt modes landed in the params
+    nm = np.asarray(prm.nmodeadv)
+    md = np.asarray(prm.modeadv)
+    ad = np.asarray(prm.advection)
+    assert list(nm[:3, 1]) == [1, 2, 1]
+    assert md[0, 0, 1] == 1 and md[1, 0, 1] == 2 and md[1, 1, 1] == 3
+    np.testing.assert_allclose(ad[1, 0, 1], 1.5e-6)
+    # run a few steps; compare against an l_advect=False twin
+    cfg0 = cfg.replace(boundary=dataclasses.replace(
+        cfg.boundary, l_advect=False))
+    model0, st0, prm0, frc0, _, _ = setup_mod.build(cfg0, str(tmp_path))
+    from mckpp_tpu import forcing as forcing_mod
+    for nt in range(1, 4):
+        if (nt - 1) % cfg.time.ndtocn == 0:
+            raw = flux_provider((nt - 1) * cfg.time.dto / 86400.0)
+            st, frc = forcing_mod.update_fluxes(
+                cfg, st, prm, frc, raw, jnp.asarray(nt <= 1), model.grid.dm)
+            st0, frc0 = forcing_mod.update_fluxes(
+                cfg0, st0, prm0, frc0, raw, jnp.asarray(nt <= 1),
+                model0.grid.dm)
+        st = model.step(st, prm, frc, first_step=(nt <= 1))
+        st0 = model0.step(st0, prm0, frc0, first_step=(nt <= 1))
+    ds = np.abs(np.asarray(st.x[..., 1]) - np.asarray(st0.x[..., 1]))
+    wet = np.asarray(prm.run_physics)
+    assert ds[wet].max() > 1e-10          # advection moved salinity...
+    adv_free = (nm[:, 1] == 0) & wet
+    if adv_free.any():                    # ...only where modes are set
+        assert ds[adv_free].max() < 1e-14
