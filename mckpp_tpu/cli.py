@@ -92,6 +92,9 @@ def main(argv=None):
     step_fn = model.step
     unpad = lambda tree: tree
     l_ocean_np = np.asarray(prm.l_ocean)       # unpadded output-domain mask
+    # rectilinear domain axes for the output files (XIOS domain lon/lat)
+    lons_ax = np.asarray(prm.dlon).reshape(cfg.domain.ny, cfg.domain.nx)[0]
+    lats_ax = np.asarray(prm.dlat).reshape(cfg.domain.ny, cfg.domain.nx)[:, 0]
     layout = None
     multi = (args.multi_device or args.distributed) and len(jax.devices()) > 1
     pad_mult = (cfg.physics.pass_block if model.pass_impl == "pallas" else 1)
@@ -149,7 +152,8 @@ def main(argv=None):
         streams, cfg.domain.nx, cfg.domain.ny,
         model.grid.zm, outdir=args.output_dir,
         start_time_days=cfg.time.startt, dto_seconds=cfg.time.dto,
-        l_ocean=l_ocean_np, write_mode=args.output_mode)
+        l_ocean=l_ocean_np, write_mode=args.output_mode,
+        lons=lons_ax, lats=lats_ax)
     if layout is not None:
         diag.set_layout(layout)
     restart = RestartControl(

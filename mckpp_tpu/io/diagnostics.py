@@ -129,7 +129,8 @@ class DiagnosticsManager:
     def __init__(self, streams: List[Stream], nx: int, ny: int, zm,
                  outdir: str = ".", start_time_days: float = 0.0,
                  dto_seconds: float = 0.0, l_ocean=None,
-                 async_write: bool = True, write_mode: str = "single"):
+                 async_write: bool = True, write_mode: str = "single",
+                 lons=None, lats=None):
         """``write_mode``: "single" gathers every emitted window to process
         0, the lone writer (XIOS one_file); "shard" has EACH process write
         its own row slab to ``<stream>[_<split>]_p<rank>.nc`` with no
@@ -146,6 +147,11 @@ class DiagnosticsManager:
         self.streams = streams
         self.nx, self.ny = nx, ny
         self.zm = np.asarray(zm)
+        # rectilinear domain axes (the XIOS domain lon/lat,
+        # mckpp_xios_io.F90:48-57); optional — written as coordinate
+        # variables when provided
+        self.lons = None if lons is None else np.asarray(lons, np.float64)
+        self.lats = None if lats is None else np.asarray(lats, np.float64)
         self.outdir = outdir
         self.start = start_time_days
         self.dto_days = dto_seconds / 86400.0
@@ -173,6 +179,14 @@ class DiagnosticsManager:
             else None
         self._pending = []
         self._plock = threading.Lock()
+        # bound on emitted-but-unfetched window BYTES (device-buffer
+        # lifetime): a 648k-column all-diags window is ~2.4 GB, so the
+        # cap must be by volume, not count
+        import collections
+        self._inflight = collections.deque()     # (future, nbytes)
+        self._inflight_bytes = 0
+        self._max_pending_mb = float(
+            os.environ.get("MCKPP_DIAG_MAX_PENDING_MB", "512"))
 
         @partial(jax.jit, static_argnames=("ops",))
         def _update(accum, fields, ops):
@@ -281,8 +295,23 @@ class DiagnosticsManager:
             # piling up at flush (with daily splits every window of the
             # day would otherwise fetch at exit), and the device buffers
             # free as soon as the copy lands — holding a whole day of
-            # records in HBM OOMs large configs (648k-column ensemble)
+            # records in HBM OOMs large configs (648k-column ensemble).
+            # Backpressure: bound the in-flight (emitted-but-unfetched)
+            # window bytes — when the step loop outruns the host link, it
+            # blocks here (the XIOS client behaves the same when its
+            # server buffer fills) instead of accumulating device
+            # buffers until OOM.
+            nbytes = sum(int(getattr(v, "nbytes", 0))
+                         for v in acc.values())
+            cap = self._max_pending_mb * 1e6
+            while self._inflight and \
+                    self._inflight_bytes + nbytes > cap:
+                fut0, nb0 = self._inflight.popleft()
+                fut0.result()
+                self._inflight_bytes -= nb0
             packed = self._writer.submit(self._materialize, packed)
+            self._inflight.append((packed, nbytes))
+            self._inflight_bytes += nbytes
         self._records[s.name].append((t, packed))
         self._accum[s.name] = None
         self._count[s.name] = 0
@@ -364,6 +393,15 @@ class DiagnosticsManager:
         else:
             dims = {"time": nt, "z": nzp1, "y": self.ny, "x": self.nx}
         coords = {"time": ("time", times), "z": ("z", self.zm)}
+        if self.lons is not None and self.lats is not None:
+            # domain axes ride every file (shard files carry the FULL
+            # axes — small — so each is self-describing and the merge
+            # passes them through)
+            if sharded:
+                dims["x"] = self.nx
+                dims["y"] = self.ny
+            coords["longitude"] = ("x", self.lons)
+            coords["latitude"] = ("y", self.lats)
         fields = {}
         for name in recs[0][1]:
             sample = recs[0][1][name]
@@ -399,6 +437,11 @@ class DiagnosticsManager:
             "z": {"units": "m", "positive": "up", "axis": "Z",
                   "long_name": "depth of model levels"},
         }
+        if "longitude" in coords:
+            var_attrs["longitude"] = {"units": "degrees_east", "axis": "X",
+                                      "standard_name": "longitude"}
+            var_attrs["latitude"] = {"units": "degrees_north", "axis": "Y",
+                                     "standard_name": "latitude"}
         if self.mask is not None:
             for name in fields:
                 var_attrs[name] = {"_FillValue": FILL_VALUE}
@@ -458,9 +501,15 @@ def merge_shard_files(shard_paths, out_path: str) -> str:
 
         var_attrs = {"time": var_attrs_of(head.variables["time"]),
                      "z": var_attrs_of(head.variables["z"])}
+        # domain coordinate axes (full in every shard) pass straight through
+        for axis, dim in (("longitude", "x"), ("latitude", "y")):
+            if axis in head.variables:
+                v = head.variables[axis]
+                coords[axis] = (dim, np.asarray(v[:], np.float64).copy())
+                var_attrs[axis] = var_attrs_of(v)
         fields = {}
         for name, v in head.variables.items():
-            if name in ("time", "z"):
+            if name in ("time", "z", "longitude", "latitude"):
                 continue
             depth = v.data.ndim == 3
             shape = (nt, nzp1, npts) if depth else (nt, npts)

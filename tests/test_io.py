@@ -249,3 +249,24 @@ def test_restart_control_netcdf_export(tmp_path):
     np.testing.assert_allclose(np.asarray(st_in.us), np.asarray(st2.us),
                                rtol=1e-12)
     assert np.array_equal(np.asarray(st_in.old), np.asarray(st2.old))
+
+
+def test_output_files_carry_domain_axes(tmp_path):
+    """Diagnostic files carry the rectilinear domain longitude/latitude
+    coordinate variables with CF attributes (the XIOS domain definition,
+    mckpp_xios_io.F90:48-57)."""
+    model, st, prm, frc = _build()
+    lons = np.asarray([100.0, 100.5, 101.0, 101.5])
+    s = diag.Stream("dom", "instant", 1, fields=("T", "hmix"))
+    dm = diag.DiagnosticsManager([s], nx=4, ny=1, zm=model.grid.zm,
+                                 outdir=str(tmp_path), dto_seconds=1200.0,
+                                 async_write=False,
+                                 lons=lons, lats=np.asarray([-5.0]))
+    dm.step(1, st, prm, frc)
+    dm.flush()
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "dom.nc"), "r", mmap=False) as nc:
+        np.testing.assert_array_equal(nc.variables["longitude"][:], lons)
+        np.testing.assert_array_equal(nc.variables["latitude"][:], [-5.0])
+        assert nc.variables["longitude"].units == b"degrees_east"
+        assert nc.variables["latitude"].standard_name == b"latitude"
