@@ -144,7 +144,15 @@ class ColumnLayout:
         padding columns are zero-filled).  ``local=None`` infers from the
         shape, raising if ambiguous — callers on the multi-host path
         should always pass it explicitly.
+
+        A single-process, already-padded DEVICE array takes a pure
+        device-side reshard: the ``np.asarray`` path would fetch the
+        whole array to host and re-upload it, doubling the initial-state
+        transfer at production scale for nothing.
         """
+        if (jax.process_count() == 1 and isinstance(arr, jax.Array)
+                and arr.shape[0] == self.ncol):
+            return jax.device_put(arr, self.sharding)
         a = np.asarray(arr)
         want_local = self.hi - self.lo
         if local is None:
