@@ -161,3 +161,23 @@ def test_cli_distributed_shard_write_matches_single(tmp_path):
                     np.asarray(a.variables[v][:]),
                     np.asarray(b.variables[v][:]),
                     err_msg=f"{base}:{v}")
+
+
+def test_launch_scripts_are_valid_shell():
+    """The pod/Slurm launchers cannot execute here (no cluster), but their
+    shell must parse and they must invoke exactly the mechanism the
+    2-process tests prove (KPP_* env + `mckpp_tpu.cli --distributed`)."""
+    import subprocess as sp
+    launch = os.path.join(ROOT, "launch")
+    for name in ("kpp_tpu_pod.sh", "KPPocean_tpu.slurm"):
+        path = os.path.join(launch, name)
+        r = sp.run(["bash", "-n", path], capture_output=True, text=True)
+        assert r.returncode == 0, f"{name}: {r.stderr}"
+        text = open(path).read()
+        assert "mckpp_tpu.cli" in text and "--distributed" in text, name
+    # the Slurm script wires the explicit KPP_* rendezvous (what these
+    # tests exercise); the pod script relies on the TPU runtime's
+    # auto-inference (jax.distributed.initialize() with no args)
+    slurm = open(os.path.join(launch, "KPPocean_tpu.slurm")).read()
+    for var in ("KPP_COORDINATOR", "KPP_NUM_PROCS", "KPP_PROC_ID"):
+        assert var in slurm, var
