@@ -177,3 +177,36 @@ def test_async_writer_materializes_off_the_loop_thread(tmp_path):
     np.testing.assert_allclose(
         t_mean[0].reshape(len(model.grid.zm), ncol).T,
         np.asarray(fields["T"]), rtol=1e-12)
+
+
+def test_emit_backpressure_bounds_inflight_bytes(tmp_path, monkeypatch):
+    """A tiny MCKPP_DIAG_MAX_PENDING_MB forces the emit-time drain loop:
+    in-flight window bytes never exceed one window beyond the cap, and
+    output values are unchanged."""
+    monkeypatch.setenv("MCKPP_DIAG_MAX_PENDING_MB", "0.001")   # ~1 kB
+    ncol = 6
+    model, st, prm, frc = _build(ncol=ncol, nx=ncol)
+    mesh = sh.make_mesh(jax.devices()[:2])
+    layout = dist.make_layout(ncol, mesh)
+    st_s = layout.shard_tree(st)
+    prm_s = layout.shard_tree(prm)
+    frc_s = layout.shard_tree(frc)
+    s = diag.Stream("bp", "instant", 1, fields=("T", "hmix"))
+    dm = diag.DiagnosticsManager([s], nx=ncol, ny=1, zm=model.grid.zm,
+                                 outdir=str(tmp_path), dto_seconds=1200.0,
+                                 async_write=True)
+    dm.set_layout(layout)
+    for nt in range(1, 7):
+        dm.step(nt, st_s, prm_s, frc_s)
+        # every emit exceeds the 1 kB cap, so at most ONE window stays in
+        # flight after the drain loop
+        assert len(dm._inflight) <= 1
+    dm.flush()
+    from mckpp_tpu.io import ncio
+    fields = diag.extract_fields(st, prm, frc)
+    with ncio.open_nc(str(tmp_path / "bp.nc")) as nc:
+        t = ncio.get_var(nc, "T")
+    assert t.shape[0] == 6
+    np.testing.assert_allclose(
+        t[-1].reshape(len(model.grid.zm), ncol).T,
+        np.asarray(fields["T"]), rtol=1e-12)
