@@ -21,15 +21,17 @@ import numpy as np
 
 
 def parity_check(ge, nz):
-    """On-chip correctness oracle: one step of the production Pallas kernel
-    vs the fused-XLA body on identical inputs; prints max rel diffs to
-    stderr and aborts the bench on disagreement (so a perf number is never
+    """On-chip correctness oracle: one step of the PRODUCTION kernel (the
+    auto-resolved impl — the whole-step Pallas kernel since r4) vs the
+    fused-XLA body on identical inputs; prints max rel diffs to stderr
+    and aborts the bench on disagreement (so a perf number is never
     recorded for a wrong kernel)."""
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return
     ncol = 512
-    model_p, st_p, prm, frc = ge._build(ncol=ncol, nz=nz, dtype="float32",
-                                        pass_impl="pallas")
+    model_p, st_p, prm, frc = ge._build(ncol=ncol, nz=nz, dtype="float32")
+    print(json.dumps({"production_impl": model_p.pass_impl}),
+          file=sys.stderr)
     model_x, st_x, _, _ = ge._build(ncol=ncol, nz=nz, dtype="float32",
                                     pass_impl="fused_xla")
     out_p = model_p.step(st_p, prm, frc, first_step=False)

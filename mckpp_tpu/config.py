@@ -100,7 +100,14 @@ class PhysicsFlags:
                                       # XLA body elsewhere, reference path
                                       # for unsupported features;
                                       # "reference" | "fused_xla" |
-                                      # "pallas" | "pallas_interpret"
+                                      # "pallas" | "pallas_interpret";
+                                      # "_step" variants fuse the WHOLE
+                                      # step (compulsory passes +
+                                      # convergence + instability loops)
+                                      # into one kernel scope with
+                                      # block-local early exit:
+                                      # "fused_xla_step" | "pallas_step"
+                                      # | "pallas_step_interpret"
     pass_block: int = 256             # Pallas column-tile size (v5e
                                       # interleaved A/B: 256 ~3% over 128;
                                       # 512 neutral; 1024 OOMs VMEM)

@@ -63,7 +63,10 @@ class KppModel:
         if self.pass_impl != "reference":
             from ..ops.ocnstep_fused import make_ocnstep_fused
             impl = {"fused_xla": "xla", "pallas": "pallas",
-                    "pallas_interpret": "interpret"}[self.pass_impl]
+                    "pallas_interpret": "interpret",
+                    "fused_xla_step": "xla_step",
+                    "pallas_step": "pallas_step",
+                    "pallas_step_interpret": "interpret_step"}[self.pass_impl]
             self._fused_step = make_ocnstep_fused(
                 self.grid, cfg, self.dtype, impl=impl,
                 block=cfg.physics.pass_block)
@@ -87,7 +90,10 @@ class KppModel:
             except Exception:
                 on_tpu = False
             if on_tpu and self.dtype == jnp.float32:
-                return "pallas"
+                # whole-step kernel: bitwise-equal to "pallas" and
+                # measured faster (BASELINE.md r4: 6.9 vs 7.8 ms/step
+                # full, 5.9 vs 6.9 lazy at ncol=16384, nz=69)
+                return "pallas_step"
             return "fused_xla"
         if not supported:
             raise ValueError(

@@ -107,6 +107,9 @@ CS_RELAX_SST, CS_SST0, CS_FCORR2D, CS_RELAX_OCNT, CS_RELAX_SAL, CS_FCORRP = \
 # (the reference's sequential per-im loop, ocnint_mod.F90:179-184, collapses
 # to sum_m coef_m * basis_m because addition commutes)
 CS_ADV1 = 20
+# step-kernel extras: per-column active mask (run_physics) and the previous
+# step's surface rho/cp (carried for the lazy-diagnostics ntflux)
+CS_ACTIVE, CS_RHO0_IN, CS_CP0_IN = 27, 28, 29
 NSC = 32  # padded row count
 
 
@@ -224,7 +227,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
                swdk_c, swfrac_c, ocnt_clim, sal_clim, fcorr_z, sfcorr_z,
                colscal, zm, hm, dm, tdn, tup, aref,
                *, nz, flags: PassFlags, dto, full, zaxis=1, zbot=None,
-               adv_st=None):
+               adv_st=None, f_row=None):
     """One fused pass over a column block.  Layouts (static ``zaxis``):
 
     * ``zaxis=1``: profiles are ``(B, WZ)`` — z on lanes, columns on
@@ -376,7 +379,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         # ---- bldepth (bldepth_mod :32-203); lane j = Fortran kl ----------
         vtc = (c.CV * math.sqrt(0.2 / c.CS / c.EPSILON_KPP)
                / c.VONK ** 2 / c.RICR)
-        f_cor = cs(CS_F)
+        f_cor = cs(CS_F) if f_row is None else f_row
         ocdepth = cs(CS_OCDEPTH)
         hek = c.CEKMAN * ustar / (jnp.abs(f_cor) + _EPS16)
         # zbot is a static grid constant (Fortran zm(nzp1) = -dmax): keep it
@@ -535,7 +538,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     # ---- ocnint: backward-Euler solves (ocnint_mod :19-221) --------------
     row = li                               # row lane r = Fortran row r+1
     dto_f = dto
-    f_cor = cs(CS_F)
+    f_cor = cs(CS_F) if f_row is None else f_row
     hm_sfc = zs(hm, 0, 1)
     # U / V with semi-implicit Coriolis (:44-72)
     cu_m, cc_m, cl_m = _tridcof(difm, tdn, tup, nz, row, za)
@@ -688,12 +691,197 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
             tinc, sinc, ocntcorr, scorr)
 
 
+def _step_body(u0, v0, t0, s0, uo, vo, to, so, swdk_c, swfrac_c,
+               ocnt_clim, sal_clim, fcorr_z, sfcorr_z, colscal,
+               zm, hm, dm, tdn, tup, aref,
+               *, nz, flags: PassFlags, dto, zaxis, zbot, adv_st,
+               itermax, hmixtolfrac, extra_iters, comp_iter_max,
+               rmsd_thr, hm_bot, dm_nz):
+    """The ENTIRE ocean step's iteration control fused around the pass
+    body: 3 compulsory passes, the per-column-masked hmix-convergence
+    while_loop and the instability-trap outer while_loop (reference:
+    mckpp_physics_ocnstep_mod.F90:122-236) — all inside one kernel scope,
+    so state never round-trips HBM between passes and each BLOCK of
+    columns stops iterating as soon as its own columns converge (the
+    batch-level loops pay every pass for the whole batch's slowest
+    column).  Per-column update masking is identical to the batch-level
+    code in ops/ocnstep_fused.py, so results are bitwise-equal.
+
+    ``u0..s0`` are the extrapolated profiles (both the raw and the
+    smoothed-iterate initial values).  colscal carries the per-column
+    scalars incl. CS_ACTIVE (run_physics), CS_RHO0_IN/CS_CP0_IN (previous
+    surface rho/cp for the lazy-diagnostics carry) and CS_F (initial
+    Coriolis; the trap's retry multiplies it per column in-kernel).
+
+    Returns (u, v, t, s, ux, vx, tx, sx, colstep) with colstep rows
+    0=hmix, 1=kmix, 2=rho0, 3=cp0, 4=comp_flag, 5=reset_flag, 6=f_used,
+    7=pad.
+    """
+    za = zaxis
+    wz = u0.shape[za]
+    dtype = u0.dtype
+    shape_li = (1, wz) if za == 1 else (wz, 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, shape_li, za)
+    if za == 1:
+        cs = lambda k: colscal[:, k:k + 1]
+    else:
+        cs = lambda k: colscal[k:k + 1, :]
+    run = partial(_pass_body, nz=nz, flags=flags, dto=dto, full=False,
+                  zaxis=zaxis, zbot=zbot, adv_st=adv_st)
+
+    def pass_(u, v, t, s, ux, vx, tx, sx, f_row):
+        # f is threaded as an explicit override (the trap's retry
+        # multiplies it per column), NOT by rewriting the colscal row
+        return run(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
+                   swdk_c, swfrac_c, ocnt_clim, sal_clim, fcorr_z,
+                   sfcorr_z, colscal, zm, hm, dm, tdn, tup, aref,
+                   f_row=f_row)
+
+    def rowk(colout, k):
+        return colout[:, k:k + 1] if za == 1 else colout[k:k + 1, :]
+
+    active = cs(CS_ACTIVE) > 0.5
+
+    def integrate(f_local):
+        """One full semi-implicit integration attempt (ocnstep:103-192);
+        the in-kernel twin of ocnstep_fused.integrate."""
+        u, v, t, s = u0, v0, t0, s0
+        ux, vx, tx, sx = u0, v0, t0, s0
+        for _ in range(3):            # compulsory passes (:122-135)
+            u, v, t, s, ux, vx, tx, sx, colout = pass_(
+                u, v, t, s, ux, vx, tx, sx, f_local)
+        hmixn = rowk(colout, 0)
+        kmixn = rowk(colout, 1)
+        rho0n = rowk(colout, 2)
+        cp0n = rowk(colout, 3)
+        if not flags.lkpp:
+            return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0n, cp0n
+
+        # counters and masks travel as floats: Mosaic's scf.while
+        # lowering rejects i1 (and is happiest with uniform f32) carries
+        def cond(carry):
+            return jnp.any(carry[-1] > 0.5)
+
+        def body(carry):
+            (u, v, t, s, ux, vx, tx, sx,
+             hmixe, kmixe, hmixn, kmixn, rho0, cp0,
+             it, iconv, cont_f) = carry
+            cont = cont_f > 0.5
+            (u_n, v_n, t_n, s_n, ux_n, vx_n, tx_n, sx_n,
+             colout) = pass_(u, v, t, s, ux, vx, tx, sx, f_local)
+            hmix_p = rowk(colout, 0)
+            kmix_p = rowk(colout, 1)
+            rho0_p = rowk(colout, 2)
+            cp0_p = rowk(colout, 3)
+            it_n = it + 1.0
+            kidx = kmix_p.astype(jnp.int32)
+            tol = hmixtolfrac * jnp.where(
+                kidx == nz + 1, hm_bot,
+                _ext(hm, jnp.clip(kidx - 1, 0, nz), li, za))
+            iconv_n = jnp.where(jnp.abs(hmix_p - hmixe) > tol,
+                                0.0, iconv + 1.0)
+            cont_n = ((iconv_n < 3.0)
+                      & ((it_n < itermax) | (hmix_p > hmixe))
+                      & (it_n < itermax + extra_iters) & active)
+            hmixe_n = jnp.where(cont_n, hmix_p, hmixe)
+            kmixe_n = jnp.where(cont_n, kmix_p, kmixe)
+
+            m = lambda a, b: jnp.where(cont, a, b)
+
+            return (m(u_n, u), m(v_n, v), m(t_n, t), m(s_n, s),
+                    m(ux_n, ux), m(vx_n, vx), m(tx_n, tx), m(sx_n, sx),
+                    m(hmixe_n, hmixe), m(kmixe_n, kmixe),
+                    m(hmix_p, hmixn), m(kmix_p, kmixn),
+                    m(rho0_p, rho0), m(cp0_p, cp0),
+                    m(it_n, it), m(iconv_n, iconv),
+                    (cont & cont_n).astype(dtype))
+
+        it0 = jnp.full(hmixn.shape, 3.0, dtype)
+        ic0 = jnp.zeros(hmixn.shape, dtype)
+        carry = (u, v, t, s, ux, vx, tx, sx, hmixn, kmixn,
+                 hmixn, kmixn, rho0n, cp0n, it0, ic0,
+                 active.astype(dtype))
+        carry = jax.lax.while_loop(cond, body, carry)
+        (u, v, t, s, ux, vx, tx, sx) = carry[:8]
+        hmixn, kmixn = carry[10], carry[11]
+        rho0n, cp0n = carry[12], carry[13]
+        return u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0n, cp0n
+
+    # ---- instability trap (ocnstep:89, :194-236) -------------------------
+    w_rms = jnp.where(li <= nz, hm / dm_nz, 0.0)
+
+    def instability(u, v, t, s):
+        # all-float formulation (bool/int cross-lane reductions have
+        # shown per-lane miscompiles under Mosaic inside while bodies)
+        lvl = li < nz                     # levels 1..nz
+        dxv = jnp.abs(t - _shl(t, 1, axis=za))
+        bad = jnp.where(lvl & ((jnp.abs(u) >= 10.0)
+                               | (jnp.abs(v) >= 10.0)
+                               | (dxv >= 10.0)), 1.0, 0.0)
+        nbad = bad.sum(axis=za, keepdims=True)
+        blown = nbad > 0.5
+
+        def rmsd(q, qo):
+            return jnp.sqrt((((q - qo) ** 2) * w_rms).sum(
+                axis=za, keepdims=True))
+
+        ex = [rmsd(u, uo) >= rmsd_thr[0], rmsd(v, vo) >= rmsd_thr[1],
+              rmsd(t, to) >= rmsd_thr[2], rmsd(s, so) >= rmsd_thr[3]]
+        exf = sum(jnp.where(e, 1.0, 0.0) for e in ex)
+        nexceed = jnp.where(blown, 0.0, exf)
+        comp = blown | ex[0] | ex[1] | ex[2] | ex[3]
+        fmul = 1.01 ** (nbad + nexceed)
+        return comp, fmul
+
+    # comp travels as a 0/1 float in the carry: Mosaic has no select
+    # between i1 vectors ("unsupported target bitwidth for truncation")
+    def outer_cond(carry):
+        comp, reset = carry[8], carry[9]
+        return jnp.any((comp > 0.5) & (reset <= float(comp_iter_max))
+                       & active)
+
+    def outer_body(carry):
+        f_local, reset = carry[10], carry[9]
+        pred = ((carry[8] > 0.5) & (reset <= float(comp_iter_max))
+                & active)
+        res = integrate(f_local)
+        u, v, t, s, ux, vx, tx, sx, hmixn, kmixn, rho0, cp0 = res
+        comp_n, fmul = instability(u, v, t, s)
+        f_n = f_local * jnp.where(comp_n, fmul, 1.0)
+        reset_n = reset + 1.0
+
+        m = lambda a, b: jnp.where(pred, a, b)
+        o = carry
+        # slot 13 records the f the surviving attempt actually used (the
+        # reference multiplies f AFTER integration, ocnstep:205,224)
+        return (m(u, o[0]), m(v, o[1]), m(t, o[2]), m(s, o[3]),
+                m(ux, o[4]), m(vx, o[5]), m(tx, o[6]), m(sx, o[7]),
+                m(comp_n.astype(dtype), o[8]), m(reset_n, o[9]),
+                m(f_n, o[10]),
+                m(hmixn, o[11]), m(kmixn, o[12]), m(f_local, o[13]),
+                m(rho0, o[14]), m(cp0, o[15]))
+
+    f0 = cs(CS_F)
+    zer = jnp.zeros(f0.shape, dtype)
+    carry0 = (u0, v0, t0, s0, u0, v0, t0, s0,
+              jnp.ones(f0.shape, dtype), zer, f0, zer,
+              jnp.full(f0.shape, float(nz), dtype), f0,
+              cs(CS_RHO0_IN), cs(CS_CP0_IN))
+    fin = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    colstep = jnp.concatenate(
+        [fin[11], fin[12], fin[14], fin[15],
+         fin[8], fin[9], fin[13], zer], axis=za)
+    return (fin[0], fin[1], fin[2], fin[3],
+            fin[4], fin[5], fin[6], fin[7], colstep)
+
+
 # ---------------------------------------------------------------------------
 # Wrappers: the same body as a plain XLA function or a Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
 N_PROFILE_IN = 12      # u v t s ux vx tx sx uo vo to so
 N_IN_TOTAL = 25        # + swdk, swfrac, 4 forcing profiles, colscal, 5 grid rows, aref
+N_STEP_IN = 21         # step kernel: u0 v0 t0 s0 uo vo to so + the rest
 
 
 def n_fast_outputs():
@@ -810,6 +998,124 @@ def make_fused_pass(grid, ncol: int, dtype, flags: PassFlags, dto: float,
         in_specs = []
         for a in arrays[:-1]:
             in_specs.append(col_spec(a))
+        aref = arrays[-1]
+        in_specs.append(pl.BlockSpec(aref.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_shapes = []
+        out_specs = []
+        for k in range(n_out):
+            sd, spec = out_sd(k)
+            out_shapes.append(sd)
+            out_specs.append(spec)
+        return pl.pallas_call(
+            kernel,
+            grid=(ncol // block,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            interpret=(impl == "interpret"),
+        )(*arrays)
+
+    return call
+
+def make_fused_step(grid, ncol: int, dtype, flags: PassFlags, dto: float,
+                    *, itermax: int, hmixtolfrac: float, extra_iters: int,
+                    impl: str = "xla", block: int = 128, zaxis: int = 1):
+    """Build the whole-step kernel callable (see :func:`_step_body`).
+
+    fn(*arrays) -> (u, v, t, s, ux, vx, tx, sx, colstep); the 21 inputs
+    are (u0, v0, t0, s0, uo, vo, to, so, swdk, swfrac, ocnt_clim,
+    sal_clim, fcorr_z, sfcorr_z, colscal, zm, hm, dm, tdn, tup, aref) in
+    the same layouts as :func:`make_fused_pass`.
+
+    impl: "xla" (traced body — CPU / f64 parity; the while loops then run
+    batch-global, which is update-masking-identical) | "pallas" (TPU
+    kernel: loops run per column BLOCK, so converged blocks stop early) |
+    "interpret".
+    """
+    from . import fused_pass as _self  # noqa: F401  (symmetry with pass)
+    nz = grid.nz
+    wz = nz + 2
+    adv_st = None
+    if flags.l_advect:
+        hm_np = np.asarray(grid.hm, np.float64)
+        zm_np = np.asarray(grid.zm, np.float64)
+        below = zm_np[:nz] < -100.0
+        n1_4 = int(np.argmax(below)) + 1 if below.any() else 0
+        m4 = np.zeros(nz, bool)
+        if n1_4 > 0:
+            m4[n1_4 - 1:nz - 1] = True
+        adv_st = dict(
+            hm1=float(hm_np[0]),
+            inv_delta3=float(1.0 / hm_np[:nz].sum()),
+            n1_4=n1_4,
+            delta4=float(hm_np[:nz][m4].sum()),
+            hm_nz=float(hm_np[nz - 1]))
+    hm_np_ = np.asarray(grid.hm, np.float64)
+    body = partial(
+        _step_body, nz=nz, flags=flags, dto=dto, zaxis=zaxis,
+        zbot=float(np.asarray(grid.zm)[nz]), adv_st=adv_st,
+        itermax=itermax, hmixtolfrac=hmixtolfrac,
+        extra_iters=extra_iters, comp_iter_max=int(c.COMP_ITER_MAX),
+        rmsd_thr=tuple(float(x) for x in c.RMSD_THRESHOLD),
+        hm_bot=float(hm_np_[nz - 1]),
+        dm_nz=float(np.asarray(grid.dm)[nz]))
+    if impl == "xla":
+        return body
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    requested_block = block
+    while block > 8 and ncol % block != 0:
+        block //= 2
+    if ncol % block != 0:
+        raise ValueError(f"ncol={ncol} must be a multiple of block={block}")
+    if block != requested_block:
+        from ..utils.logging import mckpp_print
+        mckpp_print("FUSED_STEP", f"pass_block {requested_block} does not "
+                    f"divide ncol={ncol}; clamped to {block}")
+    n_out = 9
+    colout_pos = 8
+    colout_w = 8
+
+    def kernel(*refs):
+        ins = [r[:] for r in refs[:N_STEP_IN]]
+        outs = refs[N_STEP_IN:]
+        res = body(*ins)
+        for o_ref, val in zip(outs, res):
+            o_ref[:] = val
+
+    if zaxis == 1:
+        def col_spec(a):
+            if a.shape[0] == 1:
+                return pl.BlockSpec((1, a.shape[1]), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((block, a.shape[1]), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def out_sd(k):
+            w = colout_w if k == colout_pos else wz
+            return (jax.ShapeDtypeStruct((ncol, w), dtype),
+                    pl.BlockSpec((block, w), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    else:
+        def col_spec(a):
+            if a.shape[1] == 1:
+                return pl.BlockSpec((a.shape[0], 1), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((a.shape[0], block), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        def out_sd(k):
+            w = colout_w if k == colout_pos else wz
+            return (jax.ShapeDtypeStruct((w, ncol), dtype),
+                    pl.BlockSpec((w, block), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM))
+
+    def call(*arrays):
+        assert len(arrays) == N_STEP_IN, len(arrays)
+        in_specs = [col_spec(a) for a in arrays[:-1]]
         aref = arrays[-1]
         in_specs.append(pl.BlockSpec(aref.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))

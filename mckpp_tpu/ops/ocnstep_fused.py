@@ -60,7 +60,18 @@ def _pad(a, wz):
 
 def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                        block=128):
-    """Build step_fn(st, prm, frc, first_step) -> (new_state, comp_flag)."""
+    """Build step_fn(st, prm, frc, first_step) -> (new_state, comp_flag).
+
+    ``impl`` ending in "_step" selects the WHOLE-STEP kernel
+    (fused_pass.make_fused_step): the 3 compulsory passes, the
+    hmix-convergence while_loop and the instability trap all run inside
+    one kernel scope — state never round-trips HBM between passes, and
+    each column block stops iterating when its own columns converge
+    instead of paying for the batch's slowest column.  Results are
+    bitwise-identical to the batch-level loops (same masked updates)."""
+    whole_step = impl.endswith("_step")
+    base_impl = {"xla_step": "xla", "pallas_step": "pallas",
+                 "interpret_step": "interpret"}.get(impl, impl)
     ph = cfg.physics
     nz = grid.nz
     nzp1 = nz + 1
@@ -109,11 +120,16 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
         where no output stream samples a wide field."""
         ncol = st.u.shape[0]
         fast = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
-                                  full=False, impl=impl, block=block,
-                                  zaxis=zaxis)
+                                  full=False, impl=base_impl, block=block,
+                                  zaxis=zaxis) if not whole_step else None
         fullp = fp.make_fused_pass(grid, ncol, dtype, flags, dto,
-                                   full=True, impl=impl, block=block,
+                                   full=True, impl=base_impl, block=block,
                                    zaxis=zaxis) if with_diags else None
+        fstep = fp.make_fused_step(
+            grid, ncol, dtype, flags, dto, itermax=ph.itermax,
+            hmixtolfrac=ph.hmixtolfrac, extra_iters=ph.extra_iters,
+            impl=base_impl, block=block, zaxis=zaxis) if whole_step \
+            else None
         active = prm.run_physics
         # batch (ncol, wz) <-> kernel layout
         tok = (lambda a: a) if zaxis == 1 else (lambda a: a.T)
@@ -181,6 +197,9 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                      prm.relax_sst, frc.sst0, frc.fcorr_twod,
                      prm.relax_ocnt, prm.relax_sal, st.fcorr]
             cols += adv_coef
+            # step-kernel rows (27-29): active mask + previous surface
+            # rho/cp (unused by the pass-only path)
+            cols += [prm.run_physics, st.rho[:, 0], st.cp[:, 0]]
             cols += [zero] * (fp.NSC - len(cols))
             return jnp.stack([jnp.asarray(cc, dtype) for cc in cols],
                              axis=zaxis)
@@ -308,17 +327,37 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                     m(hmixn, o[11]), m(kmixn, o[12]), m(f_local, o[13]),
                     m(rho0, o[14]), m(cp0, o[15]))
 
-        carry0 = (u_e, v_e, t_e, s_e, u_e, v_e, t_e, s_e,
-                  jnp.ones((ncol,), bool), jnp.zeros((ncol,), dtype),
-                  prm.f, jnp.zeros((ncol,), dtype),
-                  jnp.full((ncol,), nz, jnp.int32), prm.f,
-                  jnp.asarray(st.rho[:, 0], dtype),
-                  jnp.asarray(st.cp[:, 0], dtype))
-        fin = jax.lax.while_loop(outer_cond, outer_body, carry0)
-        ux_f, vx_f, tx_f, sx_f = fin[4:8]
-        comp_flag, reset_flag = fin[8], fin[9]
-        hmixn, kmixn = fin[11], fin[12]
-        f_used = fin[13]
+        if whole_step:
+            # one kernel call runs the compulsory passes + both masked
+            # while loops per column block (fused_pass._step_body)
+            csc0 = colscal_of(prm.f)
+            outs = fstep(u_e, v_e, t_e, s_e, uo, vo, to, so,
+                         swdk_c, swfrac_c, ocnt_p, sal_p, fcz_p, sfcz_p,
+                         csc0, zm_r, hm_r, dm_r, tdn_r, tup_r, aref)
+            u_fin_k, v_fin_k, t_fin_k, s_fin_k = outs[:4]
+            ux_f, vx_f, tx_f, sx_f = outs[4:8]
+            colstep = outs[8]
+            hmixn = co(colstep, 0)
+            kmixn = co(colstep, 1).astype(jnp.int32)
+            rho0_fin = co(colstep, 2)
+            cp0_fin = co(colstep, 3)
+            comp_flag = co(colstep, 4) > 0.5
+            reset_flag = co(colstep, 5)
+            f_used = co(colstep, 6)
+        else:
+            carry0 = (u_e, v_e, t_e, s_e, u_e, v_e, t_e, s_e,
+                      jnp.ones((ncol,), bool), jnp.zeros((ncol,), dtype),
+                      prm.f, jnp.zeros((ncol,), dtype),
+                      jnp.full((ncol,), nz, jnp.int32), prm.f,
+                      jnp.asarray(st.rho[:, 0], dtype),
+                      jnp.asarray(st.cp[:, 0], dtype))
+            fin = jax.lax.while_loop(outer_cond, outer_body, carry0)
+            u_fin_k, v_fin_k, t_fin_k, s_fin_k = fin[:4]
+            ux_f, vx_f, tx_f, sx_f = fin[4:8]
+            comp_flag, reset_flag = fin[8], fin[9]
+            hmixn, kmixn = fin[11], fin[12]
+            f_used = fin[13]
+            rho0_fin, cp0_fin = fin[14], fin[15]
 
         if with_diags:
             # ---- final full pass: last pass + diagnostics ------------------
@@ -368,10 +407,10 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             # prognostic-only: the loop's merged solve outputs ARE the final
             # state (the materialization pass reproduces them bitwise — the
             # under-relaxation is idempotent at its fixed point)
-            u_lvl = tob(fin[0])[:, :nzp1]
-            v_lvl = tob(fin[1])[:, :nzp1]
-            t_lvl = tob(fin[2])[:, :nzp1]
-            s_lvl = tob(fin[3])[:, :nzp1]
+            u_lvl = tob(u_fin_k)[:, :nzp1]
+            v_lvl = tob(v_fin_k)[:, :nzp1]
+            t_lvl = tob(t_fin_k)[:, :nzp1]
+            s_lvl = tob(s_fin_k)[:, :nzp1]
         if ph.l_ssref:
             ssurf = prm.ssref
         else:
@@ -433,8 +472,8 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
             new_st = dataclasses.replace(
                 st, u=u3, x=x3, us=us, xs=xs, hmixd=hmixd, old=old2,
                 new=new2, hmix=hmixn, kmix=kmixn,
-                rho=st.rho.at[:, 0].set(fin[14]),
-                cp=st.cp.at[:, 0].set(fin[15]),
+                rho=st.rho.at[:, 0].set(rho0_fin),
+                cp=st.cp.at[:, 0].set(cp0_fin),
                 uref=u_lvl[:, 0], vref=v_lvl[:, 0], tref=t_lvl[:, 0],
                 ssurf=jnp.asarray(ssurf, dtype), reset_flag=reset_flag,
                 dampu_flag=dampu_flag, dampv_flag=dampv_flag)

@@ -121,11 +121,15 @@ def _advection_params(prm, dtype):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("impl", ["fused_xla", "fused_xla_step"])
 @pytest.mark.parametrize("case", sorted(FEATURE_CASES))
-def test_fused_matches_reference_trajectory(case):
+def test_fused_matches_reference_trajectory(case, impl):
+    """Both the per-pass fused body and the WHOLE-STEP fused body
+    (fused_pass._step_body — what ships on TPU as pallas_step) must
+    reproduce the per-column reference path for every feature case."""
     kw = FEATURE_CASES[case]
     model_r, st_r, prm_r, frc_r = build("reference", **kw)
-    model_f, st_f, prm_f, frc_f = build("fused_xla", **kw)
+    model_f, st_f, prm_f, frc_f = build(impl, **kw)
     if kw.get("boundary_kw", {}).get("l_relax_sst"):
         rlx = jnp.full((NCOL,), 1.0 / (5.0 * 86400.0))
         prm_r = dataclasses.replace(prm_r, relax_sst=rlx)
@@ -191,15 +195,20 @@ def test_fused_instability_trap_and_damping_parity():
     assert_states_close(out_f, out_r, rtol=1e-9)
 
 
+@pytest.mark.parametrize("interp_impl,xla_impl", [
+    ("pallas_interpret", "fused_xla"),
+    ("pallas_step_interpret", "fused_xla_step"),
+])
 @pytest.mark.parametrize("case", ["default", "advect"])
-def test_pallas_interpret_matches_fused_xla(case):
-    """The identical kernel body under the Pallas interpreter (what runs on
-    TPU, minus Mosaic codegen) must match the traced XLA path — including
-    the in-kernel advection (rhsmod) bases."""
+def test_pallas_interpret_matches_fused_xla(case, interp_impl, xla_impl):
+    """The identical kernel bodies under the Pallas interpreter (what runs
+    on TPU, minus Mosaic codegen) must match the traced XLA paths —
+    including the in-kernel advection (rhsmod) bases and the whole-step
+    kernel's in-kernel while loops."""
     kw = {"boundary_kw": {"l_advect": True}} if case == "advect" else {}
-    model_f, st_f, prm_f, frc_f = build("fused_xla", **kw)
+    model_f, st_f, prm_f, frc_f = build(xla_impl, **kw)
     model_p, st_p, prm_p, frc_p = build(
-        "pallas_interpret", physics_kw={"pass_block": NCOL}, **kw)
+        interp_impl, physics_kw={"pass_block": NCOL}, **kw)
     if case == "advect":
         prm_f = _advection_params(prm_f, model_f.dtype)
         prm_p = _advection_params(prm_p, model_p.dtype)
