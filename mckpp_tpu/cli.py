@@ -97,7 +97,8 @@ def main(argv=None):
     lats_ax = np.asarray(prm.dlat).reshape(cfg.domain.ny, cfg.domain.nx)[:, 0]
     layout = None
     multi = (args.multi_device or args.distributed) and len(jax.devices()) > 1
-    pad_mult = (cfg.physics.pass_block if model.pass_impl == "pallas" else 1)
+    pad_mult = (cfg.physics.pass_block
+                if model.pass_impl.startswith("pallas") else 1)
     # the Pallas kernel needs a column count divisible by its tile; odd
     # production domains (453x319 = 144,507) go through the padded layout
     # even single-device
