@@ -49,6 +49,15 @@ def main(argv=None):
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize, shard the "
                         "column axis over every chip of every host")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of a few "
+                        "steady-state steps (flux update + physics + "
+                        "diagnostic emit) into DIR; view with xprof/"
+                        "tensorboard-plugin-profile.  The SURVEY §5 "
+                        "tracing hook: host timers cover the loop, this "
+                        "covers on-device time.")
+    p.add_argument("--profile-steps", type=int, default=6,
+                   help="number of steps to trace under --profile")
     p.add_argument("--output-mode", choices=["single", "shard"],
                    default="single",
                    help="diagnostic writes: 'single' gathers each emitted "
@@ -206,7 +215,10 @@ def main(argv=None):
             sds = jax.tree_util.tree_map(
                 lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                 (st, prm, frc))
-            fs = jax.ShapeDtypeStruct((), jnp.bool_)
+            # concrete jnp.asarray(False) — not a ShapeDtypeStruct — so
+            # the cache key (incl. weak_type) matches the loop's own
+            # jnp.asarray(first_step) argument exactly
+            fs = jnp.asarray(False)
             if layout is not None:
                 sharded._jitted.lower(*sds, fs, other_variant).compile()
             else:
@@ -215,18 +227,31 @@ def main(argv=None):
         except Exception as e:           # best-effort warm-up only
             mckpp_print(routine, f"background pre-compile skipped: {e}")
 
-    if num_steps > 1:
+    # the warm-up only pays off through the persistent compile cache (the
+    # AOT executable itself is discarded): with the cache disabled it
+    # would burn a core for nothing
+    if num_steps > 1 and cache_dir != "0":
         import threading
         threading.Thread(target=_precompile_other, daemon=True).start()
     mckpp_print(routine, f"timestepping loop: {num_steps} steps")
     import time as _time
     t_half = None
+    # --profile: trace a window of steady-state steps (start at the
+    # midpoint so every executable is already compiled; compile events
+    # would otherwise dominate the trace)
+    prof_start = num_steps // 2 + 1 if num_steps >= 4 else 1
+    prof_end = min(num_steps, prof_start + max(1, args.profile_steps) - 1)
+    prof_on = False
     for nt in range(1, num_steps + 1):
         if nt == num_steps // 2 + 1 and num_steps >= 4:
             # steady-state marker: everything is compiled by mid-run, so
             # the second half times pure model throughput
             jax.block_until_ready(jax.tree_util.tree_leaves(st))
             t_half = _time.perf_counter()
+        if args.profile and nt == prof_start and not prof_on:
+            jax.block_until_ready(jax.tree_util.tree_leaves(st))
+            jax.profiler.start_trace(args.profile)
+            prof_on = True
         time_days = cfg.time.startt + (nt - 1) * cfg.time.dto / 86400.0
         if (nt - 1) % cfg.time.ndtocn == 0:
             timers.start("Update surface fluxes")
@@ -277,6 +302,13 @@ def main(argv=None):
             else:
                 restart.maybe_write(nt, st, prm, frc)
         timers.stop("Restart output")
+        if prof_on and nt >= prof_end:
+            jax.block_until_ready(jax.tree_util.tree_leaves(st))
+            jax.profiler.stop_trace()
+            prof_on = False
+            mckpp_print(routine,
+                        f"profiler trace of steps {prof_start}-{prof_end} "
+                        f"written to {args.profile}")
 
     jax.block_until_ready(jax.tree_util.tree_leaves(st))
     if t_half is not None:

@@ -76,10 +76,14 @@ def export_reference_restart(path: str, st: State, prm: ColumnParams,
     nzp1 = st.u.shape[-2]
 
     def grid3(a):    # (ncol, nzp1) -> (z, y, x)
-        return np.moveaxis(np.asarray(a).reshape(ny, nx, nzp1), -1, 0)
+        # restarts stay float64 regardless of the model dtype (the
+        # reference's restart files are real64; only diagnostics follow
+        # XIOS's 4-byte default)
+        return np.moveaxis(
+            np.asarray(a, np.float64).reshape(ny, nx, nzp1), -1, 0)
 
     def grid2(a):
-        return np.asarray(a).reshape(ny, nx)
+        return np.asarray(a, np.float64).reshape(ny, nx)
 
     dims = {"z": nzp1, "y": ny, "x": nx, "two": 2, "t": 1}
     fields = {
@@ -233,6 +237,16 @@ class RestartControl:
             if jax.process_count() > 1 and jax.process_index() != 0:
                 return None        # single writer: process 0 owns the file
             if self._writer is not None:
+                # fail fast: surface any already-failed detached write NOW
+                # (e.g. disk full) instead of silently queueing further
+                # doomed writes until the end-of-run flush()
+                still = []
+                for fut in self._pending:
+                    if fut.done():
+                        fut.result()   # raises if the write failed
+                    else:
+                        still.append(fut)
+                self._pending = still
                 self._pending.append(
                     self._writer.submit(self._write, nt, st, prm, frc,
                                         fetch))

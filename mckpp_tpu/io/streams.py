@@ -72,6 +72,12 @@ def _sanitize_xml(text: str) -> str:
     single pass escapes ``<`` and non-entity ``&`` occurring inside quoted
     attribute values (and skips comments), so the verbatim reference file
     parses.  Well-formed XML passes through unchanged.
+
+    Known limitation: a bare ``<`` or ``&`` in element TEXT content (or
+    CDATA) is left untouched and would still fail ET.fromstring, unlike
+    XIOS's tolerant parser.  iodef files are attribute-only in practice
+    (every reference ``<field>``/``<file>`` element is empty-bodied), so
+    only attribute values are scanned.
     """
     out = []
     i, n = 0, len(text)

@@ -94,6 +94,11 @@ class PassFlags:
     # evaluations, scientifically equivalent (the table is itself only an
     # approximation of these formulas), ~1e-3 relative difference in wm/ws
     wscale: str = "nodal"
+    # NAME_CONSTANTS-overridable physical constants reaching the kernel
+    # (mckpp_initialize_namelist_mod.F90:92-107); trace-time floats
+    grav: float = c.GRAV
+    vonk: float = c.VONK
+    sice: float = c.SICE
 
 
 # colscal row indices (packed per-column scalars)
@@ -260,7 +265,9 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         cs = lambda k: colscal[k:k + 1, :]
     ext = partial(_ext, za=za)
 
-    ws_fn = wscale_analytic if flags.wscale == "analytic" else wscale_nodal
+    ws_fn = partial(
+        wscale_analytic if flags.wscale == "analytic" else wscale_nodal,
+        vonk=flags.vonk)
 
     # ---- under-relaxation (ocnstep :122-129) -----------------------------
     u = lam * ux + (1.0 - lam) * u
@@ -275,7 +282,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     alpha, beta, _, sig0, _ = abk80(s_abs, t, pr)
     rho = 1000.0 + sig0
     cp = cpsw(s_abs, t, pr)
-    buoy = -c.GRAV * sig0 / 1000.0
+    buoy = -flags.grav * sig0 / 1000.0
     rho0, cp0 = zs(rho, 0, 1), zs(cp, 0, 1)
     ta0, sb0 = zs(alpha, 0, 1), zs(beta, 0, 1)
     # fresh-water / brine surface densities (verticalmixing :44-50)
@@ -283,7 +290,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     zm_sfc = zs(zm, 0, 1)
     _, _, _, s0t, _ = abk80(jnp.zeros_like(t_sfc), t_sfc, -zm_sfc)
     rhoh2o = 1000.0 + s0t
-    _, _, _, s0b, _ = abk80(jnp.full_like(t_sfc, c.SICE), t_sfc, -zm_sfc)
+    _, _, _, s0b, _ = abk80(jnp.full_like(t_sfc, flags.sice), t_sfc, -zm_sfc)
     rhob = 1000.0 + s0b
 
     # ---- solar decay cache + non-turbulent flux (fluxes :93-137) ---------
@@ -301,10 +308,10 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     ustar = jnp.sqrt(tau / rho0)
     ssurf = cs(CS_SSURF)
     wx0t = -cs(CS_NSOL) / rho0 / cp0
-    wx0s = ssurf * cs(CS_RAIN) / rhoh2o + (ssurf - c.SICE) * cs(CS_ICE) / rhob
-    b0 = -c.GRAV * (ta0 * wx0t - sb0 * wx0s)
+    wx0s = ssurf * cs(CS_RAIN) / rhoh2o + (ssurf - flags.sice) * cs(CS_ICE) / rhob
+    b0 = -flags.grav * (ta0 * wx0t - sb0 * wx0s)
     wx0b = -b0
-    b0sol = c.GRAV * ta0 * swf / (rho0 * cp0)
+    b0sol = flags.grav * ta0 * swf / (rho0 * cp0)
 
     # ---- interface buoyancy-gradient terms for ddmix ---------------------
     if flags.ldd:
@@ -378,7 +385,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
     if flags.lkpp:
         # ---- bldepth (bldepth_mod :32-203); lane j = Fortran kl ----------
         vtc = (c.CV * math.sqrt(0.2 / c.CS / c.EPSILON_KPP)
-               / c.VONK ** 2 / c.RICR)
+               / flags.vonk ** 2 / c.RICR)
         f_cor = cs(CS_F) if f_row is None else f_row
         ocdepth = cs(CS_OCDEPTH)
         hek = c.CEKMAN * ustar / (jnp.abs(f_cor) + _EPS16)
@@ -399,7 +406,7 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         bvsq = 0.5 * (shr(dbloc, 1) / jnp.where(valid, dz_up, 1.0)
                       + dbloc / jnp.where(valid, dz_dn, 1.0))
         vtsq = -z_kl * ws_l * jnp.sqrt(jnp.abs(bvsq)) * vtc
-        dmo_raw = c.CMONOB * ustar ** 3 / c.VONK / (jnp.abs(bfsfc_l) + _EPS16)
+        dmo_raw = c.CMONOB * ustar ** 3 / flags.vonk / (jnp.abs(bfsfc_l) + _EPS16)
         dmo_l = stable_l * dmo_raw - (1.0 - stable_l) * zbot
         hekman_l = stable_l * hek - (1.0 - stable_l) * zbot
         raw = shr(ritop, 1) / (shr(dvsq, 1) + vtsq + _EPS16)
@@ -445,7 +452,8 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
         case_a = jnp.where(-zm_kbl - 0.5 * hm_kbl - hbl >= 0.0, 1.0, 0.0)
 
         # ---- blmix (blmix_mod :13-151) -----------------------------------
-        cg = c.CSTAR * c.VONK * (c.CS * c.VONK * c.EPSILON_KPP) ** (1.0 / 3.0)
+        cg = (c.CSTAR * flags.vonk
+              * (c.CS * flags.vonk * c.EPSILON_KPP) ** (1.0 / 3.0))
         sigma_bl = stable * 1.0 + (1.0 - stable) * c.EPSILON_KPP
         wm_h, ws_h = ws_fn(sigma_bl, hbl, ustar, bfsfc)
         kn = jnp.where(case_a + _EPS20 >= 1.0, kbl - 1, kbl)
@@ -645,8 +653,16 @@ def _pass_body(u, v, t, s, ux, vx, tx, sx, uo, vo, to, so,
                 dmax6 = dm_km - 0.5 * (hm_km + hm_km1)
                 basis = band_basis(rows_nz, depth6, dmax6)
             else:                         # mode 7: seasonal thermocline
-                in7 = li >= km - 2
-                pfx_lo = ext(pfx, km - 3, li)
+                # km (=kbl) is always >= 2 here (the bldepth crossing
+                # search starts at lane 2), so clamp explicitly: at
+                # km==2 the walk starts at the surface row with
+                # pfx_lo=0 (previously emergent from the no-match
+                # gather returning 0).  km<=2 is ill-defined in the
+                # reference as well — solvers.F90:318-331 would index
+                # hm(0)/rhs(0).
+                km7 = jnp.maximum(km, 2)
+                in7 = li >= km7 - 2
+                pfx_lo = jnp.where(km7 >= 3, ext(pfx, km7 - 3, li), 0.0)
                 depth7 = (dm_km - 0.5 * hm_km) + (pfx - pfx_lo)
                 basis = band_basis(in7, depth7, 100.0)
             total = total + coef * basis
