@@ -55,6 +55,9 @@ class TimeConfig:
     ndtocn: int = 1                   # ocean substeps per dtsec
     startt: float = 0.0               # start time (days)
     finalt: float = 1.0               # end time (days)
+    spd: float = c.SPD                # seconds per day — participates in the
+                                      # reference's derived-time arithmetic
+                                      # and is NAME_CONSTANTS-overridable
 
     @property
     def dto(self) -> float:
@@ -62,7 +65,7 @@ class TimeConfig:
 
     @property
     def nend(self) -> int:
-        return int(round((self.finalt - self.startt) * c.SPD / self.dtsec))
+        return int(round((self.finalt - self.startt) * self.spd / self.dtsec))
 
     @property
     def num_timesteps(self) -> int:
@@ -257,6 +260,10 @@ class KppConfig:
     boundary: BoundaryConfig = field(default_factory=BoundaryConfig)
     init: InitConfig = field(default_factory=InitConfig)
     output: OutputConfig = field(default_factory=OutputConfig)
+    # NAME_CONSTANTS: run-overridable physical constants
+    # (mckpp_initialize_namelist_mod.F90:92-107); trace-time floats
+    # threaded into the kernels
+    constants: c.Constants = field(default_factory=c.Constants)
     dtype: str = "float64"            # "float64" (parity) | "float32" (perf)
 
     def validate(self) -> "KppConfig":
@@ -271,7 +278,7 @@ class KppConfig:
             raise ValueError("You cannot have dscale=0 for stretched grids")
         if t.dtsec <= 0.0 or t.startt < 0.0 or t.finalt < 0.0:
             raise ValueError("dtsec, startt and finalt must be specified")
-        span = (t.finalt - t.startt) * c.SPD
+        span = (t.finalt - t.startt) * t.spd
         if abs(t.num_timesteps * t.dto - span) > 1e-6 * max(1.0, span):
             raise ValueError("The integration length is not a multiple of the ocean timestep")
         if f.l_fcorr and f.l_fcorr_withz:

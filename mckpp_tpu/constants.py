@@ -4,8 +4,17 @@ Values mirror the reference defaults set before the constants namelist read
 (reference: mckpp_initialize_namelist_mod.F90:92-106) and the physics-internal
 parameter blocks.  All are plain Python floats; arrays are built at trace time
 in the dtype of the surrounding computation.
+
+The 15 NAME_CONSTANTS values the reference reads from the namelist
+(mckpp_initialize_namelist_mod.F90:92-107, copied into the model at
+mckpp_initialize_constants_mod.F90:5-153) are overridable per run through
+:class:`Constants` (attached as ``KppConfig.constants`` and threaded into
+the kernels as trace-time floats).  The module-level names below remain the
+reference defaults, used by the non-overridable parameter blocks and as the
+``Constants`` field defaults.
 """
 
+import dataclasses
 import math
 
 SPD = 86400.0          # seconds per day
@@ -27,6 +36,41 @@ FLSN = FL              # latent heat of fusion for snow
 # Sidereal-day-based planetary rotation used in Coriolis
 # (reference: mckpp_initialize_geography_mod.F90:80-87)
 SIDEREAL_DAY = 86164.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Constants:
+    """The NAME_CONSTANTS namelist group: the 15 physical constants the
+    reference lets a run override (mckpp_initialize_namelist_mod.F90:92-107;
+    field names follow the Fortran variables, lower-cased).
+
+    Of these, the reference's own downstream code consumes only
+    ``grav``/``vonk`` (physics kernels), ``spd`` (time control, boundary
+    interpolation, relaxation) and ``twopi`` (Coriolis) — plus ``sice``,
+    ``el``/``flsn`` and ``tk0`` in the flux/ancillary conversions this
+    framework also performs.  ``dpy``, ``onepi``, ``sbc``, ``epsw``,
+    ``albocn``, ``sl`` and ``fl`` are copied into the reference's constants
+    struct but never read by any reference routine (verified by grep over
+    /root/reference/src), so accepting-and-storing them without further
+    effect is exact parity.  Note the reference assigns ``FLSN=FL`` BEFORE
+    the namelist read, so overriding ``fl`` alone does NOT change ``flsn``
+    — the independent defaults here reproduce that.
+    """
+    spd: float = SPD
+    dpy: float = DPY
+    twopi: float = TWOPI
+    onepi: float = ONEPI
+    grav: float = GRAV
+    vonk: float = VONK
+    tk0: float = TK0
+    sbc: float = SBC
+    epsw: float = EPSW
+    albocn: float = ALBOCN
+    sice: float = SICE
+    el: float = EL
+    sl: float = SL
+    fl: float = FL
+    flsn: float = FLSN
 
 # KPP scheme parameters (reference: bldepth/blmix/wscale/rimix parameter blocks)
 RICR = 0.30            # critical bulk Richardson number

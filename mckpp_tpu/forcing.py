@@ -45,17 +45,19 @@ def constant_test_fluxes(ncol: int, dtype=jnp.float64) -> RawFluxes:
                      rain=full(6e-5), snow=full(0.0))
 
 
-def pack_sflux(raw: RawFluxes, l_ocean, sflux_prev, l_rest: bool):
+def pack_sflux(raw: RawFluxes, l_ocean, sflux_prev, l_rest: bool,
+               flsn: float = c.FLSN, el: float = c.EL):
     """Pack raw fluxes into the sflux vector for wet columns
-    (reference: mckpp_fluxes_mod.F90:56-85)."""
+    (reference: mckpp_fluxes_mod.F90:56-85).  ``flsn``/``el`` (latent
+    heats) are NAME_CONSTANTS-overridable."""
     calm = (raw.taux == 0.0) & (raw.tauy == 0.0)
     taux = jnp.where(calm, 1e-10, raw.taux)
     if not l_rest:
         packed = jnp.stack([
             taux, raw.tauy, raw.swf,
-            raw.lwf + raw.lhf + raw.shf - raw.snow * c.FLSN,
+            raw.lwf + raw.lhf + raw.shf - raw.snow * flsn,
             jnp.full_like(taux, 1e-10),
-            raw.rain + raw.snow + raw.lhf / c.EL,
+            raw.rain + raw.snow + raw.lhf / el,
         ], axis=-1)
     else:
         z = jnp.zeros_like(taux)
@@ -85,7 +87,8 @@ def ntflux(st: State, frc: Forcing, prm: ColumnParams, dm, first_step) -> State:
 def update_fluxes(cfg: KppConfig, st: State, prm: ColumnParams,
                   frc: Forcing, raw: RawFluxes, first_step, dm):
     """The per-ndtocn flux update: pack sflux + refresh wXNT."""
-    sflux = pack_sflux(raw, prm.l_ocean, frc.sflux, cfg.forcing.l_rest)
+    sflux = pack_sflux(raw, prm.l_ocean, frc.sflux, cfg.forcing.l_rest,
+                       flsn=cfg.constants.flsn, el=cfg.constants.el)
     frc = dataclasses.replace(frc, sflux=sflux)
     st = ntflux(st, frc, prm, dm, first_step)
     return st, frc

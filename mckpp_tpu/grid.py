@@ -120,14 +120,16 @@ def vertical_grid_from_arrays(z: np.ndarray, h: np.ndarray, d: np.ndarray,
                         tri_dn=jnp.asarray(tri_dn), tri_up=jnp.asarray(tri_up))
 
 
-def coriolis(dlat: jax.Array) -> jax.Array:
+def coriolis(dlat: jax.Array, twopi: float = c.TWOPI) -> jax.Array:
     """Coriolis parameter with a floor at 2.5 degrees latitude
-    (reference: mckpp_initialize_geography_mod.F90:78-88)."""
-    omega2 = 2.0 * (c.TWOPI / c.SIDEREAL_DAY)
-    floor = omega2 * jnp.sin(2.5 * c.TWOPI / 360.0) * jnp.sign(dlat)
-    full = omega2 * jnp.sin(dlat * c.TWOPI / 360.0)
+    (reference: mckpp_initialize_geography_mod.F90:78-88).  ``twopi`` is
+    NAME_CONSTANTS-overridable (the reference computes f from its namelist
+    twopi, mckpp_initialize_namelist_mod.F90:94)."""
+    omega2 = 2.0 * (twopi / c.SIDEREAL_DAY)
+    floor = omega2 * jnp.sin(2.5 * twopi / 360.0) * jnp.sign(dlat)
+    full = omega2 * jnp.sin(dlat * twopi / 360.0)
     # sign(0) = 0 in jax but the reference's SIGN(1., 0.0) = +1
-    floor = jnp.where(dlat == 0.0, omega2 * jnp.sin(2.5 * c.TWOPI / 360.0), floor)
+    floor = jnp.where(dlat == 0.0, omega2 * jnp.sin(2.5 * twopi / 360.0), floor)
     return jnp.where(jnp.abs(dlat) < 2.5, floor, full)
 
 

@@ -39,7 +39,7 @@ from ..state import Forcing, ColumnParams
 from .. import forcing as forcing_mod
 from . import ncio
 
-SPD = c.SPD
+SPD = c.SPD      # default; get_update_time takes the run's spd
 
 
 def _nint(x: float) -> int:
@@ -49,7 +49,7 @@ def _nint(x: float) -> int:
 
 def get_update_time(time: float, ndt_update: int, file_times: np.ndarray,
                     periodic: bool, period: int, dto: float, dtsec: float,
-                    method: int = 1):
+                    method: int = 1, spd: float = c.SPD):
     """Compute (update_time, 0-based record index); abort if absent.
 
     Mirrors mckpp_get_update_time (mckpp_time_control.F90:71-167):
@@ -69,15 +69,15 @@ def get_update_time(time: float, ndt_update: int, file_times: np.ndarray,
       nearest-match, and either way the result must match a file record
       within 0.01*dtsec (:115-122) or we abort.
     """
-    upd_days = ndt_update * dto / SPD
+    upd_days = ndt_update * dto / spd
     if method == 2:
         # integer-arithmetic quantization (mckpp_time_control.F90:142-154)
-        q = (math.floor(time) * round(SPD)) // (ndt_update * round(dto))
-        update_time = upd_days * q + 0.5 * dto / SPD * ndt_update
+        q = (math.floor(time) * round(spd)) // (ndt_update * round(dto))
+        update_time = upd_days * q + 0.5 * dto / spd * ndt_update
     else:
         update_time = time + 0.5 * upd_days
 
-    tol = 0.01 * dtsec / SPD
+    tol = 0.01 * dtsec / spd
     # the wrap compare carries the validity tolerance: a read-time that is
     # one float ulp above the last record must not wrap a whole period
     # (the reference's strict > has the same intent in exact arithmetic)
@@ -352,7 +352,7 @@ class BoundaryManager:
         from ..parallel.distributed import any_across_processes
         local = bool(np.any((a > 200.0) & (a < 400.0)))
         if any_across_processes(local):
-            return a - c.TK0
+            return a - self.cfg.constants.tk0
         return a
 
     def _dev(self, arr):
@@ -366,7 +366,8 @@ class BoundaryManager:
     def _upd(self, reader, ndt, periodic, period, method):
         t = self.cfg.time
         return get_update_time(self._time, ndt, reader.times(), periodic,
-                               period, t.dto, t.dtsec, method=method)
+                               period, t.dto, t.dtsec, method=method,
+                               spd=self.cfg.constants.spd)
 
     def read_sst(self, frc: Forcing) -> Forcing:
         f, b = self.cfg.forcing, self.cfg.boundary
@@ -462,7 +463,7 @@ class BoundaryManager:
     # ---- time interpolation (mckpp_boundary_interpolate.F90) -------------
     def _interp(self, frc, read_fn, ndt_upd, period, field):
         true_time = int(self._time)
-        nd = ndt_upd * self.cfg.time.dto / SPD
+        nd = ndt_upd * self.cfg.time.dto / self.cfg.constants.spd
         prev_time = int(math.floor((true_time + nd / 2) / nd) * nd - nd * 0.5)
         if prev_time < 0:
             prev_weight = (nd - abs(true_time - prev_time)) / nd
@@ -590,7 +591,8 @@ class BoundaryManager:
         for reader, kind, var, ndt, periodic, period, method in table:
             # next step n' > ntime with (n'-1) % ndt == 0
             n_next = ((ntime - 1) // ndt + 1) * ndt + 1
-            t_next = time_days + (n_next - ntime) * t.dto / SPD
+            t_next = time_days + (n_next - ntime) * t.dto \
+                / self.cfg.constants.spd
             jobs.append((reader, kind, var, ndt, periodic, period,
                          method, t_next))
         return jobs

@@ -54,7 +54,8 @@ class KppModel:
                 dscale=d.dscale, dtype=self.dtype)
         self.grid = vgrid
         if cfg.physics.wscale_mode == "table":
-            wmt, wst = wscale_mod.build_tables(np.float64)
+            wmt, wst = wscale_mod.build_tables(np.float64,
+                                               vonk=cfg.constants.vonk)
             self.wmt = wmt.astype(self.dtype)
             self.wst = wst.astype(self.dtype)
         else:       # "analytic": exact stability functions, gather-free
@@ -185,7 +186,7 @@ class KppModel:
                       stc.swdk_opt, stc.swfrac, stc.wxnt,
                       jnp.asarray(True), grid, wmt, wst,
                       lri=ph.lri, ldd=ph.ldd, lkpp=ph.lkpp,
-                      update_wxnt=False)
+                      update_wxnt=False, cst=self.cfg.constants)
             stc = dataclasses.replace(
                 stc, rho=vm.rho, cp=vm.cp, talpha=vm.talpha, sbeta=vm.sbeta,
                 buoy=vm.buoy, rhoh2o=vm.rhoh2o, difm=vm.difm, difs=vm.difs,
@@ -204,7 +205,8 @@ class KppModel:
             if ph.ldd:
                 wx1 = -stc.dift[1:nz + 1] * ((stc.x[:nz, 0] - stc.x[1:, 0]) / deltaz
                                              - stc.ghat[1:] * stc.wx[0, 0])
-            wxb = c.GRAV * (stc.talpha[:nz] * wx1 - stc.sbeta[:nz] * wx2)
+            wxb = self.cfg.constants.grav * (stc.talpha[:nz] * wx1
+                                             - stc.sbeta[:nz] * wx2)
             wu1 = -stc.difm[1:nz + 1] * (stc.u[:nz, 0] - stc.u[1:, 0]) / deltaz
             wu2 = -stc.difm[1:nz + 1] * (stc.u[:nz, 1] - stc.u[1:, 1]) / deltaz
             wx = stc.wx.at[1:, 0].set(wx1).at[1:, 1].set(wx2).at[1:, 2].set(wxb)

@@ -32,12 +32,12 @@ _EPSLN = 1.0e-16
 
 
 def bldepth(dvsq, ritop, dbloc, ustar, bo, bosol, swfrac_cached, jerlov,
-            f, ocdepth, l_initflag, zm, hm, wmt, wst):
+            f, ocdepth, l_initflag, zm, hm, wmt, wst, *, vonk=c.VONK):
     """Diagnose (hbl, bfsfc, stable, caseA, kbl) for one column."""
     nz = zm.shape[0] - 1
     dtype = zm.dtype
 
-    vtc = c.CV * jnp.sqrt(0.2 / c.CS / c.EPSILON_KPP) / c.VONK ** 2 / c.RICR
+    vtc = c.CV * jnp.sqrt(0.2 / c.CS / c.EPSILON_KPP) / vonk ** 2 / c.RICR
     hek = c.CEKMAN * ustar / (jnp.abs(f) + _EPSLN)
     zbot = zm[nz]                       # zm(kmp1) Fortran = -dmax
 
@@ -48,14 +48,16 @@ def bldepth(dvsq, ritop, dbloc, ustar, bo, bosol, swfrac_cached, jerlov,
     bfsfc_l = bo + bosol * (1.0 - swfrac_cached[kl - 1])
     stable_l = jnp.where(bfsfc_l + _EPSLN >= 0.0, 1.0, 0.0)
     sigma_l = stable_l + (1.0 - stable_l) * c.EPSILON_KPP
-    _, ws_l = jax.vmap(wscale, in_axes=(0, 0, None, 0, None, None))(
+    from functools import partial as _partial
+    _ws = _partial(wscale, vonk=vonk)
+    _, ws_l = jax.vmap(_ws, in_axes=(0, 0, None, 0, None, None))(
         sigma_l, -z_kl, ustar, bfsfc_l, wmt, wst)
     dz_up = z_klm1 - z_kl               # zm(kl-1)-zm(kl)
     dz_dn = z_kl - zm[kl]               # zm(kl)-zm(kl+1)
     bvsq = 0.5 * (dbloc[kl - 1] / dz_up + dbloc[kl] / dz_dn)
     vtsq = -z_kl * ws_l * jnp.sqrt(jnp.abs(bvsq)) * vtc
     # Monin-Obukhov depth candidate at each level
-    dmo_raw = c.CMONOB * ustar ** 3 / c.VONK / (jnp.abs(bfsfc_l) + _EPSLN)
+    dmo_raw = c.CMONOB * ustar ** 3 / vonk / (jnp.abs(bfsfc_l) + _EPSLN)
     dmo_l = stable_l * dmo_raw - (1.0 - stable_l) * zbot
     hekman_l = stable_l * hek - (1.0 - stable_l) * zbot
     rib_num = ritop[kl - 1]

@@ -29,15 +29,15 @@ def _shape_coeffs(sig, gat1, dat1):
 
 
 def blmix(difm, difs, dift, ustar, bfsfc, hbl, stable, case_a, kbl,
-          zm, hm, wmt, wst):
+          zm, hm, wmt, wst, *, vonk=c.VONK):
     """Compute boundary-layer mixing coefficients for one column."""
     nz = zm.shape[0] - 1
     dtype = zm.dtype
-    cg = c.CSTAR * c.VONK * (c.CS * c.VONK * c.EPSILON_KPP) ** (1.0 / 3.0)
+    cg = c.CSTAR * vonk * (c.CS * vonk * c.EPSILON_KPP) ** (1.0 / 3.0)
 
     # velocity scales at hbl
     sigma = stable * 1.0 + (1.0 - stable) * c.EPSILON_KPP
-    wm, ws = wscale(sigma, hbl, ustar, bfsfc, wmt, wst)
+    wm, ws = wscale(sigma, hbl, ustar, bfsfc, wmt, wst, vonk=vonk)
 
     # interior diffusivity and derivative at hbl, from level kn
     # kn = kbl-1 in case A, kbl in case B (Fortran level index)
@@ -71,7 +71,9 @@ def blmix(difm, difs, dift, ustar, bfsfc, hbl, stable, case_a, kbl,
     ki = jnp.arange(1, nz + 1)
     sig = (-zm[ki - 1] + 0.5 * hm[ki - 1]) / hbl
     sigma_i = stable * sig + (1.0 - stable) * jnp.minimum(sig, c.EPSILON_KPP)
-    wm_i, ws_i = jax.vmap(wscale, in_axes=(0, None, None, None, None, None))(
+    from functools import partial as _partial
+    wm_i, ws_i = jax.vmap(_partial(wscale, vonk=vonk),
+                          in_axes=(0, None, None, None, None, None))(
         sigma_i, hbl, ustar, bfsfc, wmt, wst)
     gm = _shape_coeffs(sig, gat1[0], dat1[0])
     gs = _shape_coeffs(sig, gat1[1], dat1[1])
@@ -86,7 +88,7 @@ def blmix(difm, difs, dift, ustar, bfsfc, hbl, stable, case_a, kbl,
     # diffusivities at the kbl-1 grid level
     sig_k = -zm[kbl - 2] / hbl
     sigma_k = stable * sig_k + (1.0 - stable) * jnp.minimum(sig_k, c.EPSILON_KPP)
-    wm_k, ws_k = wscale(sigma_k, hbl, ustar, bfsfc, wmt, wst)
+    wm_k, ws_k = wscale(sigma_k, hbl, ustar, bfsfc, wmt, wst, vonk=vonk)
     gm_k = _shape_coeffs(sig_k, gat1[0], dat1[0])
     gs_k = _shape_coeffs(sig_k, gat1[1], dat1[1])
     gt_k = _shape_coeffs(sig_k, gat1[2], dat1[2])

@@ -79,7 +79,8 @@ def ocnstep(stt: State, prm: ColumnParams, frc: Forcing, grid, wmt, wst,
                     prm.f, prm.ocdepth, jnp.asarray(False),
                     st.swdk_opt, st.swfrac, st.wxnt, first_step,
                     grid, wmt, wst,
-                    lri=ph.lri, ldd=ph.ldd, lkpp=ph.lkpp)
+                    lri=ph.lri, ldd=ph.ldd, lkpp=ph.lkpp,
+                    cst=cfg.constants)
 
     def run_ocnint(st: State, f_local, kmixe):
         oi = ocnint(st.u, st.x, uo, xo, f_local, kmixe,
@@ -201,7 +202,7 @@ def ocnstep(stt: State, prm: ColumnParams, frc: Forcing, grid, wmt, wst,
     if ph.ldd:
         wx1 = -st.dift[1:nz + 1] * ((st.x[:nz, 0] - st.x[1:, 0]) / deltaz
                                     - st.ghat[1:] * st.wx[0, 0])
-    wxb = c.GRAV * (st.talpha[:nz] * wx1 - st.sbeta[:nz] * wx2)
+    wxb = cfg.constants.grav * (st.talpha[:nz] * wx1 - st.sbeta[:nz] * wx2)
     wu1 = -st.difm[1:nz + 1] * (st.u[:nz, 0] - st.u[1:, 0]) / deltaz
     wu2 = -st.difm[1:nz + 1] * (st.u[:nz, 1] - st.u[1:, 1]) / deltaz
     wx = st.wx.at[1:, 0].set(wx1).at[1:, 1].set(wx2).at[1:, 2].set(wxb)

@@ -44,14 +44,15 @@ def supports_fused(cfg: KppConfig) -> bool:
 
 
 def pass_flags(cfg: KppConfig) -> fp.PassFlags:
-    ph, b, f = cfg.physics, cfg.boundary, cfg.forcing
+    ph, b, f, cst = cfg.physics, cfg.boundary, cfg.forcing, cfg.constants
     return fp.PassFlags(
         lri=ph.lri, ldd=ph.ldd, lkpp=ph.lkpp,
         l_relax_sst=b.l_relax_sst, l_relax_calconly=b.l_relax_calconly,
         l_fcorr=f.l_fcorr, l_fcorr_withz=f.l_fcorr_withz,
         l_sfcorr_withz=f.l_sfcorr_withz, l_relax_sal=b.l_relax_sal,
         l_relax_ocnt=b.l_relax_ocnt, l_advect=b.l_advect,
-        wscale=ph.wscale_mode)
+        wscale=ph.wscale_mode,
+        grav=cst.grav, vonk=cst.vonk, sice=cst.sice)
 
 
 def _pad(a, wz):
@@ -384,7 +385,7 @@ def make_ocnstep_fused(grid, cfg: KppConfig, dtype, *, impl="xla",
                             - ghat * wx0t[:, None])
             wx2 = -difs * ((fp._shr(s_p, 1) - s_p) / dz_safe
                            - ghat * wx0s[:, None])
-            wxb = c.GRAV * (fp._shr(talpha, 1) * wx1
+            wxb = flags.grav * (fp._shr(talpha, 1) * wx1
                             - fp._shr(sbeta, 1) * wx2)
             wu1 = -difm * (fp._shr(u_p, 1) - u_p) / dz_safe
             wu2 = -difm * (fp._shr(v_p, 1) - v_p) / dz_safe

@@ -58,7 +58,7 @@ class VmixResult(NamedTuple):
 def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
          swdk_opt_cached, swfrac_cached, wxnt_prev, first_step,
          grid, wmt, wst, *, lri=True, ldd=False, lkpp=True,
-         update_wxnt=True):
+         update_wxnt=True, cst=c.Constants()):
     """One vertical-mixing evaluation for a single column.
 
     u: (nzp1,2); x: (nzp1,2) with x[:,0]=T, x[:,1]=S-Sref;
@@ -73,7 +73,7 @@ def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
     # fresh-water and brine densities in the surface layer
     s0t, _ = sig80(jnp.asarray(0.0, dtype), x[0, 0], -zm[0])
     rhoh2o = 1000.0 + s0t
-    s0b, _ = sig80(jnp.asarray(c.SICE, dtype), x[0, 0], -zm[0])
+    s0b, _ = sig80(jnp.asarray(cst.sice, dtype), x[0, 0], -zm[0])
     rhob = 1000.0 + s0b
 
     # EOS on every level (reference :59-73); pressure = -zm (dbar)
@@ -82,7 +82,7 @@ def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
     cp = cpsw(x[:, 1] + sref, x[:, 0], -zm)
     talpha = alpha
     sbeta = beta
-    buoy = -c.GRAV * sig0 / 1000.0
+    buoy = -cst.grav * sig0 / 1000.0
 
     # non-turbulent solar flux profile (ntflux); swdk cache at interfaces
     swdk_opt = jnp.where(first_step,
@@ -97,10 +97,10 @@ def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
     tau = jnp.sqrt(sflux[0] ** 2 + sflux[1] ** 2) + 1.0e-16
     ustar = jnp.sqrt(tau / rho[0])
     wx0_t = -sflux[3] / rho[0] / cp[0]
-    wx0_s = ssurf * sflux[5] / rhoh2o + (ssurf - c.SICE) * sflux[4] / rhob
-    b0 = -c.GRAV * (talpha[0] * wx0_t - sbeta[0] * wx0_s)
+    wx0_s = ssurf * sflux[5] / rhoh2o + (ssurf - cst.sice) * sflux[4] / rhob
+    b0 = -cst.grav * (talpha[0] * wx0_t - sbeta[0] * wx0_s)
     wx0 = jnp.stack([wx0_t, wx0_s, -b0])
-    b0sol = c.GRAV * talpha[0] * sflux[2] / (rho[0] * cp[0])
+    b0sol = cst.grav * talpha[0] * sflux[2] / (rho[0] * cp[0])
 
     # buoyancy-gradient contributions on interfaces (for ddmix)
     alpha_dt = jnp.zeros(nz + 1, dtype=dtype)
@@ -166,9 +166,10 @@ def vmix(u, x, sflux, ssurf, sref, jerlov, f, ocdepth, l_initflag,
     if lkpp:
         hbl, bfsfc, stable, case_a, kbl = bldepth(
             dvsq_lvl, ritop, dbloc, ustar, b0, b0sol, swfrac_cached,
-            jerlov, f, ocdepth, l_initflag, zm, hm, wmt, wst)
+            jerlov, f, ocdepth, l_initflag, zm, hm, wmt, wst, vonk=cst.vonk)
         blmc, ghat, dkm1 = blmix(difm, difs, dift, ustar, bfsfc, hbl,
-                                 stable, case_a, kbl, zm, hm, wmt, wst)
+                                 stable, case_a, kbl, zm, hm, wmt, wst,
+                                 vonk=cst.vonk)
         blmc, ghat = enhance(difm, difs, dift, dkm1, hbl, kbl, case_a,
                              blmc, ghat, zm)
         # merge boundary-layer and interior coefficients

@@ -32,7 +32,7 @@ def _cbrt(x):
     return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
 
 
-def build_tables(dtype=np.float64):
+def build_tables(dtype=np.float64, vonk=c.VONK):
     """Build (wmt, wst) lookup tables of shape (892, 50).
 
     Entry (i, j): zehat = zmin + i*deltaz, ustar = umin + j*deltau.
@@ -46,19 +46,19 @@ def build_tables(dtype=np.float64):
     epsln = 1.0e-20
     zeta = zehat / (usta ** 3 + epsln)
 
-    wm_stable = c.VONK * usta / (1.0 + c.C1_WS * zeta)
+    wm_stable = vonk * usta / (1.0 + c.C1_WS * zeta)
     # np.cbrt handles the (discarded) negative-argument entries of the
     # deep-unstable branches without warnings; where selected, the
     # arguments are provably positive (zeta <= zetam/zetas).
     wm_unst = np.where(
         zeta > c.ZETAM,
-        c.VONK * usta * np.abs(1.0 - c.C2_WS * zeta) ** 0.25,
-        c.VONK * np.cbrt(c.AM * usta ** 3 - c.CM * zehat),
+        vonk * usta * np.abs(1.0 - c.C2_WS * zeta) ** 0.25,
+        vonk * np.cbrt(c.AM * usta ** 3 - c.CM * zehat),
     )
     ws_unst = np.where(
         zeta > c.ZETAS,
-        c.VONK * usta * np.abs(1.0 - c.C3_WS * zeta) ** 0.5,
-        c.VONK * np.cbrt(c.AS_WS * usta ** 3 - c.CS * zehat),
+        vonk * usta * np.abs(1.0 - c.C3_WS * zeta) ** 0.5,
+        vonk * np.cbrt(c.AS_WS * usta ** 3 - c.CS * zehat),
     )
     stable = zehat >= 0.0
     wmt = np.where(stable, wm_stable, wm_unst)
@@ -72,7 +72,7 @@ def _quartic_root(x):
     return jnp.sqrt(jnp.sqrt(x))
 
 
-def wscale_analytic(sigma, hbl, ustar, bfsfc):
+def wscale_analytic(sigma, hbl, ustar, bfsfc, *, vonk=c.VONK):
     """Closed-form LMD turbulent velocity scales — the exact stability
     functions the reference's lookup table discretizes
     (mckpp_physics_lookup_mod.F90:42-64), evaluated at the query point.
@@ -82,43 +82,43 @@ def wscale_analytic(sigma, hbl, ustar, bfsfc):
     is both faster and more accurate than the (zehat, ustar)-gridded
     interpolation.  Works on arrays of any shape.
     """
-    zehat = c.VONK * sigma * hbl * bfsfc
+    zehat = vonk * sigma * hbl * bfsfc
     ucube = ustar ** 3
     zeta = zehat / (ucube + 1.0e-30)
     # stable branch, in the division-safe rearrangement the reference
     # itself uses for zehat > zmax (wscale_mod.F90:57-95)
-    w_stab = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat + 1.0e-30)
+    w_stab = vonk * ustar * ucube / (ucube + c.C1_WS * zehat + 1.0e-30)
     wm_unst = jnp.where(
         zeta > c.ZETAM,
-        c.VONK * ustar * _quartic_root(jnp.abs(1.0 - c.C2_WS * zeta)),
-        c.VONK * _cbrt(c.AM * ucube - c.CM * zehat))
+        vonk * ustar * _quartic_root(jnp.abs(1.0 - c.C2_WS * zeta)),
+        vonk * _cbrt(c.AM * ucube - c.CM * zehat))
     ws_unst = jnp.where(
         zeta > c.ZETAS,
-        c.VONK * ustar * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
-        c.VONK * _cbrt(c.AS_WS * ucube - c.CS * zehat))
+        vonk * ustar * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
+        vonk * _cbrt(c.AS_WS * ucube - c.CS * zehat))
     stable = zehat >= 0.0
     wm = jnp.where(stable, w_stab, wm_unst)
     ws = jnp.where(stable, w_stab, ws_unst)
     return wm, ws
 
 
-def _node_wmws(zehat_n, usta_n):
+def _node_wmws(zehat_n, usta_n, vonk=c.VONK):
     """The table-build formula (mckpp_physics_lookup_mod.F90:47-62)
     evaluated at a grid node, in jnp (elementwise, shape-polymorphic)."""
     zeta = zehat_n / (usta_n ** 3 + 1.0e-20)
-    w_st = c.VONK * usta_n / (1.0 + c.C1_WS * zeta)
+    w_st = vonk * usta_n / (1.0 + c.C1_WS * zeta)
     wm_un = jnp.where(zeta > c.ZETAM,
-                      c.VONK * usta_n
+                      vonk * usta_n
                       * _quartic_root(jnp.abs(1.0 - c.C2_WS * zeta)),
-                      c.VONK * _cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
+                      vonk * _cbrt(c.AM * usta_n ** 3 - c.CM * zehat_n))
     ws_un = jnp.where(zeta > c.ZETAS,
-                      c.VONK * usta_n * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
-                      c.VONK * _cbrt(c.AS_WS * usta_n ** 3 - c.CS * zehat_n))
+                      vonk * usta_n * jnp.sqrt(jnp.abs(1.0 - c.C3_WS * zeta)),
+                      vonk * _cbrt(c.AS_WS * usta_n ** 3 - c.CS * zehat_n))
     stable = zehat_n >= 0.0
     return jnp.where(stable, w_st, wm_un), jnp.where(stable, w_st, ws_un)
 
 
-def wscale_nodal(sigma, hbl, ustar, bfsfc):
+def wscale_nodal(sigma, hbl, ustar, bfsfc, *, vonk=c.VONK):
     """The reference's bilinear table interpolation — including its linear
     extrapolation outside the (zehat, ustar) table domain — computed
     gather-free by evaluating the table-build formula at the four
@@ -131,7 +131,7 @@ def wscale_nodal(sigma, hbl, ustar, bfsfc):
     default; the resident-table path is kept for oracle tests.
     """
     dtype = jnp.result_type(sigma, hbl, ustar, bfsfc)
-    zehat = c.VONK * sigma * hbl * bfsfc
+    zehat = vonk * sigma * hbl * bfsfc
     zdiff = zehat - c.WS_ZMIN
     iz = jnp.clip((zdiff / _DELTAZ).astype(jnp.int32), 0, c.WS_NI)
     udiff = ustar - c.WS_UMIN
@@ -144,10 +144,10 @@ def wscale_nodal(sigma, hbl, ustar, bfsfc):
     z_hi = z_lo + _DELTAZ
     u_lo = c.WS_UMIN + _DELTAU * ju.astype(dtype)
     u_hi = u_lo + _DELTAU
-    wm_ll, ws_ll = _node_wmws(z_lo, u_lo)
-    wm_hl, ws_hl = _node_wmws(z_hi, u_lo)
-    wm_lh, ws_lh = _node_wmws(z_lo, u_hi)
-    wm_hh, ws_hh = _node_wmws(z_hi, u_hi)
+    wm_ll, ws_ll = _node_wmws(z_lo, u_lo, vonk)
+    wm_hl, ws_hl = _node_wmws(z_hi, u_lo, vonk)
+    wm_lh, ws_lh = _node_wmws(z_lo, u_hi, vonk)
+    wm_hh, ws_hh = _node_wmws(z_hi, u_hi, vonk)
 
     wam = fzfrac * wm_lh + zfrac * wm_hh
     wbm = fzfrac * wm_ll + zfrac * wm_hl
@@ -157,14 +157,14 @@ def wscale_nodal(sigma, hbl, ustar, bfsfc):
     ws_tab = (1.0 - ufrac) * wbs + ufrac * was
 
     ucube = ustar ** 3
-    wm_ana = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat)
+    wm_ana = vonk * ustar * ucube / (ucube + c.C1_WS * zehat)
     use_table = zehat <= c.WS_ZMAX
     wm = jnp.where(use_table, wm_tab, wm_ana)
     ws = jnp.where(use_table, ws_tab, wm_ana)
     return wm, ws
 
 
-def wscale(sigma, hbl, ustar, bfsfc, wmt, wst):
+def wscale(sigma, hbl, ustar, bfsfc, wmt, wst, *, vonk=c.VONK):
     """Bilinear lookup of (wm, ws) at (zehat, ustar); analytic formula for
     zehat > zmax (reference: mckpp_physics_verticalmixing_wscale_mod.F90:57-95).
 
@@ -173,8 +173,8 @@ def wscale(sigma, hbl, ustar, bfsfc, wmt, wst):
     which computes the same interpolation from formula evaluations.
     """
     if wmt is None:
-        return wscale_nodal(sigma, hbl, ustar, bfsfc)
-    zehat = jnp.asarray(c.VONK * sigma * hbl * bfsfc)
+        return wscale_nodal(sigma, hbl, ustar, bfsfc, vonk=vonk)
+    zehat = jnp.asarray(vonk * sigma * hbl * bfsfc)
     ustar = jnp.asarray(ustar)
 
     zdiff = zehat - c.WS_ZMIN
@@ -193,7 +193,7 @@ def wscale(sigma, hbl, ustar, bfsfc, wmt, wst):
     ws_tab = (1.0 - ufrac) * wbs + ufrac * was
 
     ucube = ustar ** 3
-    wm_ana = c.VONK * ustar * ucube / (ucube + c.C1_WS * zehat)
+    wm_ana = vonk * ustar * ucube / (ucube + c.C1_WS * zehat)
     use_table = zehat <= c.WS_ZMAX
     wm = jnp.where(use_table, wm_tab, wm_ana)
     ws = jnp.where(use_table, ws_tab, wm_ana)

@@ -115,7 +115,7 @@ def load_initial_profiles(cfg: KppConfig, data_dir: str, model_z: np.ndarray,
         t, _ = read("ztemp", "temp")
         s, _ = read("zsal", "sal")
     if np.any((t > 200.0) & (t < 400.0)):
-        t = t - c.TK0
+        t = t - cfg.constants.tk0
     u0 = np.stack([u, v], axis=-1)
     return u0, t, s
 
@@ -181,8 +181,10 @@ def relaxation_rates(cfg: KppConfig) -> Tuple[np.ndarray, np.ndarray, np.ndarray
         r = np.asarray(rows, dtype=float)
         if len(r) < d.ny:
             r = np.pad(r, (0, d.ny - len(r)))
-        per_row = np.where(r[:d.ny] == 0.0, 0.0,
-                           1.0 / np.where(r[:d.ny] == 0.0, 1.0, r[:d.ny] * c.SPD))
+        per_row = np.where(
+            r[:d.ny] == 0.0, 0.0,
+            1.0 / np.where(r[:d.ny] == 0.0, 1.0,
+                           r[:d.ny] * cfg.constants.spd))
         return np.repeat(per_row, d.nx)
 
     return (expand(b.relax_sst_in, b.l_relax_sst),
@@ -217,7 +219,8 @@ def build(cfg: KppConfig, data_dir: str = "."):
     prm = init_params(d.npts, nzp1, dtype=model.dtype)
     prm = dataclasses.replace(
         prm,
-        f=coriolis(jnp.asarray(dlat, model.dtype)),
+        f=coriolis(jnp.asarray(dlat, model.dtype),
+                   twopi=cfg.constants.twopi),
         dlat=jnp.asarray(dlat, model.dtype),
         dlon=jnp.asarray(dlon, model.dtype),
         ocdepth=jnp.asarray(ocdepth, model.dtype),

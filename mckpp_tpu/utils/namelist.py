@@ -14,6 +14,7 @@ from typing import Any, Dict, Tuple
 
 from ..config import (KppConfig, DomainConfig, TimeConfig, PhysicsFlags,
                       ForcingConfig, BoundaryConfig, InitConfig, OutputConfig)
+from ..constants import Constants
 
 _GROUP_RE = re.compile(r"&(\w+)(.*?)(?:&END|/)\s*", re.S | re.I)
 
@@ -99,6 +100,22 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
     g = parse_namelist(text)
     get = lambda grp, var, d=None: _get(g, grp, var, d)
 
+    # NAME_CONSTANTS: the 15 overridable physical constants
+    # (mckpp_initialize_namelist_mod.F90:92-107).  Unknown variable names
+    # in the group abort, like the Fortran READ would.
+    cvars = dict(g.get("NAME_CONSTANTS", {}))
+    ckw = {}
+    for name in ("SPD", "DPY", "TWOPI", "ONEPI", "GRAV", "VONK", "TK0",
+                 "SBC", "EPSW", "ALBOCN", "SICE", "EL", "SL", "FL", "FLSN"):
+        if name in cvars:
+            ckw[name.lower()] = float(cvars.pop(name))
+    if cvars:
+        raise ValueError(
+            f"unknown NAME_CONSTANTS variables {sorted(cvars)} — the "
+            "reference namelist group holds only spd/dpy/twopi/onepi/grav/"
+            "vonk/TK0/sbc/epsw/albocn/sice/EL/SL/FL/FLSN")
+    constants = Constants(**ckw)
+
     domain = DomainConfig(
         nx=int(get("NAME_PARAMETERS", "NX", 1)),
         ny=int(get("NAME_PARAMETERS", "NY", 1)),
@@ -121,6 +138,7 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
         ndtocn=int(get("NAME_TIMES", "NDTOCN", 1)),
         startt=float(get("NAME_TIMES", "STARTT", -999.999)),
         finalt=float(get("NAME_TIMES", "FINALT", -999.999)),
+        spd=constants.spd,
     )
     physics = PhysicsFlags(
         lkpp=bool(get("NAME_PROCSWIT", "LKPP", True)),
@@ -224,7 +242,7 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
     )
     cfg = KppConfig(domain=domain, time=time, physics=physics,
                     forcing=forcing, boundary=boundary, init=init,
-                    output=output)
+                    output=output, constants=constants)
     known_groups = {"NAME_PARAMETERS", "NAME_CONSTANTS", "NAME_PROCSWIT",
                     "NAME_DOMAIN", "NAME_LANDSEA", "NAME_START", "NAME_TIMES",
                     "NAME_COUPLE", "NAME_ADVEC", "NAME_PARAS", "NAME_FORCING",
