@@ -513,7 +513,10 @@ def merge_shard_files(shard_paths, out_path: str) -> str:
                 continue
             depth = v.data.ndim == 3
             shape = (nt, nzp1, npts) if depth else (nt, npts)
-            full = np.empty(shape, np.float64)
+            # preserve the shards' on-disk precision (f32 diagnostics
+            # stay f32 in the merged file)
+            dt = np.float32 if v.data.dtype == np.float32 else np.float64
+            full = np.empty(shape, dt)
             for nc in ncs:
                 lo, hi = iattr(nc, "shard_lo"), iattr(nc, "shard_hi")
                 full[..., lo:hi] = nc.variables[name][:]

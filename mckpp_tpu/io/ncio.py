@@ -182,8 +182,13 @@ def write_fields(path: str, dims: dict, coords: dict, fields: dict,
             v[:] = np.asarray(vals, dtype=np.float64)
             set_var_attrs(v, name)
         for name, (fdims, arr) in fields.items():
-            v = nc.createVariable(name, "d", tuple(fdims))
-            v[:] = np.asarray(arr, dtype=np.float64)
+            # float32 payloads write as 4-byte NC_FLOAT (XIOS's default
+            # output precision); everything else as NC_DOUBLE — mirrors
+            # the native encoder's dtype dispatch
+            f32 = getattr(arr, "dtype", None) == np.float32
+            v = nc.createVariable(name, "f" if f32 else "d", tuple(fdims))
+            v[:] = np.asarray(arr,
+                              dtype=np.float32 if f32 else np.float64)
             set_var_attrs(v, name)
         if attrs:
             for k, val in attrs.items():

@@ -72,6 +72,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int,
                                     ctypes.POINTER(ctypes.c_int),
                                     ctypes.c_void_p]
+    lib.ncw_def_var_f32.restype = ctypes.c_int
+    lib.ncw_def_var_f32.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.c_void_p]
     lib.ncw_var_att_text.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_char_p, ctypes.c_char_p]
     lib.ncw_var_att_double.argtypes = [ctypes.c_void_p, ctypes.c_int,
@@ -125,11 +130,17 @@ def write_fields_native(path: str, dims: dict, coords: dict, fields: dict,
                 lib.ncw_att_double(h, k.encode(), float(val))
 
         def def_var(name, fdims, arr):
-            a = np.ascontiguousarray(arr, dtype="<f8")
+            # honor the payload dtype: float32 arrays (the production
+            # diagnostic windows) encode as NC_FLOAT — the XIOS default
+            # output precision (run/iodef.xml has no prec attrs) — at
+            # half the bytes; everything else as NC_DOUBLE
+            f32 = getattr(arr, "dtype", None) == np.float32
+            a = np.ascontiguousarray(arr, dtype="<f4" if f32 else "<f8")
             keep.append(a)
             ids = (ctypes.c_int * len(fdims))(*[dim_ids[d] for d in fdims])
-            vid = lib.ncw_def_var_f64(h, name.encode(), len(fdims), ids,
-                                      a.ctypes.data_as(ctypes.c_void_p))
+            defv = lib.ncw_def_var_f32 if f32 else lib.ncw_def_var_f64
+            vid = defv(h, name.encode(), len(fdims), ids,
+                       a.ctypes.data_as(ctypes.c_void_p))
             for k, val in ((var_attrs or {}).get(name) or {}).items():
                 if isinstance(val, (bytes, str)):
                     v = val if isinstance(val, bytes) else val.encode()

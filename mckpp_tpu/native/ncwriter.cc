@@ -14,9 +14,12 @@
 // how large the output window is, and the swap+write runs at memcpy speed.
 //
 // Format: NetCDF "classic" with 64-bit offsets (magic CDF\x02), fixed-size
-// variables only (numrecs = 0), float64 data, text/double attributes —
-// exactly the subset produced by io/ncio.py:write_fields and readable by
-// scipy.io.netcdf_file.
+// variables only (numrecs = 0), float64 or float32 data (float32 is the
+// XIOS default output precision — the reference's iodef.xml carries no
+// prec attributes, run/iodef.xml:88-157, so XIOS writes 4-byte floats;
+// diagnostics follow suit while coordinates/restarts stay f64), text/
+// double attributes — exactly the subset produced by
+// io/ncio.py:write_fields and readable by scipy.io.netcdf_file.
 //
 // Build: g++ -O3 -shared -fPIC (no external dependencies).
 
@@ -32,6 +35,7 @@ constexpr int32_t NC_DIMENSION = 10;
 constexpr int32_t NC_VARIABLE = 11;
 constexpr int32_t NC_ATTRIBUTE = 12;
 constexpr int32_t NC_CHAR = 2;
+constexpr int32_t NC_FLOAT = 5;
 constexpr int32_t NC_DOUBLE = 6;
 
 struct Dim {
@@ -50,9 +54,11 @@ struct Var {
   std::string name;
   std::vector<int32_t> dimids;
   std::vector<Att> atts;
-  const double* data;  // borrowed; owner keeps it alive until ncw_close
+  const void* data;  // borrowed; owner keeps it alive until ncw_close
   int64_t nelems;
   int64_t begin;
+  int32_t nc_type;   // NC_DOUBLE or NC_FLOAT
+  int64_t esize;     // element bytes: 8 or 4
 };
 
 struct Writer {
@@ -148,8 +154,8 @@ void write_att_list(Out& out, const std::vector<Att>& atts) {
   }
 }
 
-// Stream-byteswap a double array to the file through a bounded buffer.
-bool write_swapped(Out& out, const double* data, int64_t nelems) {
+// Stream-byteswap an array to the file through a bounded buffer.
+bool write_swapped64(Out& out, const void* data, int64_t nelems) {
   constexpr int64_t CHUNK = 131072;  // 1 MiB of doubles
   std::vector<uint64_t> buf((size_t)std::min(nelems, CHUNK));
   const uint64_t* src = reinterpret_cast<const uint64_t*>(data);
@@ -159,6 +165,21 @@ bool write_swapped(Out& out, const double* data, int64_t nelems) {
     out.bytes(buf.data(), (size_t)n * 8);
     if (!out.ok) return false;
   }
+  return true;
+}
+
+bool write_swapped32(Out& out, const void* data, int64_t nelems) {
+  constexpr int64_t CHUNK = 262144;  // 1 MiB of floats
+  std::vector<uint32_t> buf((size_t)std::min(nelems, CHUNK));
+  const uint32_t* src = reinterpret_cast<const uint32_t*>(data);
+  for (int64_t off = 0; off < nelems; off += CHUNK) {
+    int64_t n = std::min(CHUNK, nelems - off);
+    for (int64_t i = 0; i < n; ++i) buf[(size_t)i] = __builtin_bswap32(src[off + i]);
+    out.bytes(buf.data(), (size_t)n * 4);
+    if (!out.ok) return false;
+  }
+  // NetCDF pads each non-record variable's data to a 4-byte boundary;
+  // float32 elements are already 4-aligned, so no tail padding needed.
   return true;
 }
 
@@ -211,12 +232,14 @@ void ncw_var_att_double(void* h, int varid, const char* name, double value) {
   w->vars[(size_t)varid].atts.push_back({name, false, "", value});
 }
 
-int ncw_def_var_f64(void* h, const char* name, int ndims, const int* dimids,
-                    const double* data) {
-  Writer* w = static_cast<Writer*>(h);
+static int def_var_typed(Writer* w, const char* name, int ndims,
+                         const int* dimids, const void* data,
+                         int32_t nc_type, int64_t esize) {
   Var v;
   v.name = name;
   v.nelems = 1;
+  v.nc_type = nc_type;
+  v.esize = esize;
   for (int i = 0; i < ndims; ++i) {
     if (dimids[i] < 0 || dimids[i] >= (int)w->dims.size()) {
       w->failed = true;
@@ -230,6 +253,19 @@ int ncw_def_var_f64(void* h, const char* name, int ndims, const int* dimids,
   return (int)w->vars.size() - 1;
 }
 
+int ncw_def_var_f64(void* h, const char* name, int ndims, const int* dimids,
+                    const double* data) {
+  return def_var_typed(static_cast<Writer*>(h), name, ndims, dimids, data,
+                       NC_DOUBLE, 8);
+}
+
+// 4-byte float variable (the XIOS default output precision).
+int ncw_def_var_f32(void* h, const char* name, int ndims, const int* dimids,
+                    const float* data) {
+  return def_var_typed(static_cast<Writer*>(h), name, ndims, dimids, data,
+                       NC_FLOAT, 4);
+}
+
 // Writes the file; frees the handle; returns bytes written or -1 on error.
 long long ncw_close(void* h) {
   Writer* w = static_cast<Writer*>(h);
@@ -238,7 +274,7 @@ long long ncw_close(void* h) {
     int64_t off = header_bytes(*w);
     for (auto& v : w->vars) {
       v.begin = off;
-      off += padded(v.nelems * 8);
+      off += padded(v.nelems * v.esize);
     }
     FILE* f = fopen(w->path.c_str(), "wb");
     if (f) {
@@ -259,13 +295,16 @@ long long ncw_close(void* h) {
         out.i32((int32_t)v.dimids.size());
         for (int32_t d : v.dimids) out.i32(d);
         write_att_list(out, v.atts);
-        out.i32(NC_DOUBLE);
-        int64_t vsize = padded(v.nelems * 8);
+        out.i32(v.nc_type);
+        int64_t vsize = padded(v.nelems * v.esize);
         out.i32(vsize <= 0x7FFFFFFF ? (int32_t)vsize : (int32_t)0x7FFFFFFF);
         out.u64((uint64_t)v.begin);
       }
       for (const auto& v : w->vars) {
-        if (!write_swapped(out, v.data, v.nelems)) break;
+        bool w_ok = (v.nc_type == NC_FLOAT)
+                        ? write_swapped32(out, v.data, v.nelems)
+                        : write_swapped64(out, v.data, v.nelems);
+        if (!w_ok) break;
       }
       if (out.ok) result = (long long)ftell(f);
       fclose(f);
