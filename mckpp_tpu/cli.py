@@ -227,10 +227,18 @@ def main(argv=None):
         except Exception as e:           # best-effort warm-up only
             mckpp_print(routine, f"background pre-compile skipped: {e}")
 
+    # Multi-step dispatch chaining (models/chain.py): every event-free
+    # span of steps — flux updates, ancillary refreshes, emits and
+    # restarts bound it — runs as ONE jitted call, with the per-step
+    # diagnostic accumulation folded in.  MCKPP_CHAIN=0 restores the
+    # per-step dispatch loop (they produce bitwise-identical
+    # trajectories; tests/test_chain.py).
+    use_chain = os.environ.get("MCKPP_CHAIN", "1") != "0"
     # the warm-up only pays off through the persistent compile cache (the
     # AOT executable itself is discarded): with the cache disabled it
-    # would burn a core for nothing
-    if num_steps > 1 and cache_dir != "0":
+    # would burn a core for nothing.  The chained loop compiles its own
+    # executables, so the per-step warm-up is only useful unchained.
+    if num_steps > 1 and cache_dir != "0" and not use_chain:
         import threading
         threading.Thread(target=_precompile_other, daemon=True).start()
     mckpp_print(routine, f"timestepping loop: {num_steps} steps")
@@ -242,10 +250,13 @@ def main(argv=None):
     prof_start = num_steps // 2 + 1 if num_steps >= 4 else 1
     prof_end = min(num_steps, prof_start + max(1, args.profile_steps) - 1)
     prof_on = False
-    for nt in range(1, num_steps + 1):
-        if nt == num_steps // 2 + 1 and num_steps >= 4:
-            # steady-state marker: everything is compiled by mid-run, so
-            # the second half times pure model throughput
+    half_marker = num_steps // 2 + 1 if num_steps >= 4 else None
+
+    def _pre_step(nt):
+        """Per-step host-side events BEFORE the physics: steady-state /
+        profile markers, the flux-cadence update and ancillary refresh."""
+        nonlocal t_half, prof_on, st, frc
+        if nt == half_marker:
             jax.block_until_ready(jax.tree_util.tree_leaves(st))
             t_half = _time.perf_counter()
         if args.profile and nt == prof_start and not prof_on:
@@ -263,25 +274,14 @@ def main(argv=None):
                 _flux_schedule(cfg.time.startt
                                + (nt_next - 1) * cfg.time.dto / 86400.0)
             timers.stop("Update surface fluxes")
-        if nt != 1:
+        if nt != 1 and (not use_chain or mgr.due_any(nt)):
             timers.start("Update ancillaries")
             frc = mgr.update(nt, time_days, frc)
             timers.stop("Update ancillaries")
-        timers.start("Physics")
-        # steps where no output stream samples a wide diagnostic field
-        # (and no restart is due) skip the diagnostic-materialization
-        # pass — ~a full kernel pass saved per step (ocnstep_fused.py)
-        need_full = (diag.needs_full(nt)
-                     or (cfg.output.l_restartw and restart.due(nt)))
-        st = step_fn(st, prm, frc, first_step=(nt <= 1),
-                     with_diags=need_full)
-        timers.stop("Physics")
-        timers.start("Diagnostic output")
-        # sharded runs feed the sharded trees straight in: reductions
-        # accumulate on device, the gather happens only when a window
-        # emits (no per-step cross-host transfers)
-        diag.step(nt, st, prm, frc)
-        timers.stop("Diagnostic output")
+
+    def _post_step(nt):
+        """Restart write + profile stop AFTER the physics of step nt."""
+        nonlocal prof_on
         timers.start("Restart output")
         if cfg.output.l_restartw and restart.due(nt):
             # detached restart writes (the reference stamps restarts
@@ -292,12 +292,15 @@ def main(argv=None):
                 # the cross-host gather is a collective — run it here,
                 # synchronously; only the encode is detached
                 restart.maybe_write(nt, unpad(st), unpad(prm), unpad(frc))
-            elif layout is not None:
-                # the sharded step DONATES its state buffers, so the
-                # background fetch needs its own on-device copies
-                # (a cheap HBM copy, ~ms) — fetch+encode then run
-                # entirely off the loop thread
+            elif layout is not None and not use_chain:
+                # the sharded per-step path DONATES its state buffers, so
+                # the background fetch needs its own on-device copies
+                # (a cheap HBM copy, ~ms); the chained path does not
+                # donate, so it hands the live buffers over directly
                 restart.maybe_write(nt, _snapshot(st), prm, frc,
+                                    fetch=layout.gather_tree)
+            elif layout is not None:
+                restart.maybe_write(nt, st, prm, frc,
                                     fetch=layout.gather_tree)
             else:
                 restart.maybe_write(nt, st, prm, frc)
@@ -309,6 +312,63 @@ def main(argv=None):
             mckpp_print(routine,
                         f"profiler trace of steps {prof_start}-{prof_end} "
                         f"written to {args.profile}")
+
+    if use_chain:
+        from .models.chain import ChainedStepper, plan_segments, emit_due
+        stepper = ChainedStepper(
+            model._step, diag,
+            mesh=(mesh if layout is not None else None))
+
+        def _end(nt):
+            return (emit_due(diag, nt)
+                    or (cfg.output.l_restartw and restart.due(nt))
+                    or (diag.needs_full(nt) and not stepper.wide_reducing)
+                    or (args.profile and nt == prof_end))
+
+        def _start(nt):
+            return (mgr.due_any(nt) or nt == half_marker
+                    or (args.profile and nt == prof_start))
+
+        max_k = int(os.environ.get("MCKPP_CHAIN_MAX", "32"))
+        segments = plan_segments(num_steps, ndtocn=cfg.time.ndtocn,
+                                 end_pred=_end, start_pred=_start,
+                                 max_k=max_k)
+        mckpp_print(routine,
+                    f"chained dispatch: {len(segments)} segments for "
+                    f"{num_steps} steps (max k "
+                    f"{max(k for _, k in segments)})")
+        for nt0, k in segments:
+            _pre_step(nt0)
+            nt_end = nt0 + k - 1
+            timers.start("Physics")
+            need_full = (diag.needs_full(nt_end)
+                         or (cfg.output.l_restartw and restart.due(nt_end)))
+            st, accums, inst_fields = stepper.exec(
+                nt0, k, st, prm, frc, final_full=need_full)
+            timers.stop("Physics")
+            timers.start("Diagnostic output")
+            stepper.commit(nt_end, k, accums, inst_fields)
+            timers.stop("Diagnostic output")
+            _post_step(nt_end)
+    else:
+        for nt in range(1, num_steps + 1):
+            _pre_step(nt)
+            timers.start("Physics")
+            # steps where no output stream samples a wide diagnostic field
+            # (and no restart is due) skip the diagnostic-materialization
+            # pass — ~a full kernel pass saved per step (ocnstep_fused.py)
+            need_full = (diag.needs_full(nt)
+                         or (cfg.output.l_restartw and restart.due(nt)))
+            st = step_fn(st, prm, frc, first_step=(nt <= 1),
+                         with_diags=need_full)
+            timers.stop("Physics")
+            timers.start("Diagnostic output")
+            # sharded runs feed the sharded trees straight in: reductions
+            # accumulate on device, the gather happens only when a window
+            # emits (no per-step cross-host transfers)
+            diag.step(nt, st, prm, frc)
+            timers.stop("Diagnostic output")
+            _post_step(nt)
 
     jax.block_until_ready(jax.tree_util.tree_leaves(st))
     if t_half is not None:

@@ -515,6 +515,31 @@ class BoundaryManager:
             self.schedule_prefetch(1, time_days)
         return frc
 
+    def due_any(self, ntime: int) -> bool:
+        """Whether :meth:`update` would refresh ANY field at step ntime —
+        the step-chaining boundary predicate (models/chain.py): steps
+        where this is False are pure state->state and may run inside a
+        chained dispatch without calling update() at all."""
+        cfg = self.cfg
+        f, b = cfg.forcing, cfg.boundary
+
+        def due(ndt):
+            return (ntime - 1) % ndt == 0
+
+        return bool(
+            (b.l_upd_climsst and due(b.ndtupdsst))
+            or (b.l_upd_climice and due(b.ndtupdice))
+            or (f.l_upd_fcorr and due(f.ndtupdfcorr)
+                and (f.l_fcorr_withz or f.l_fcorr))
+            or (f.l_upd_sfcorr and due(f.ndtupdsfcorr)
+                and (f.l_sfcorr_withz or f.l_sfcorr))
+            or (f.l_upd_bottom_temp and due(f.ndtupdbottom))
+            or (f.l_upd_sal and not f.l_interp_sal and due(f.ndtupdsal))
+            or (f.l_upd_sal and f.l_interp_sal and due(f.ndt_interp_sal))
+            or (f.l_upd_ocnt and not f.l_interp_ocnt and due(f.ndtupdocnt))
+            or (f.l_upd_ocnt and f.l_interp_ocnt
+                and due(f.ndt_interp_ocnt)))
+
     # ---- per-step dispatcher (mckpp_boundary_update_mod.F90:24-124) ------
     def update(self, ntime: int, time_days: float, frc: Forcing) -> Forcing:
         cfg = self.cfg
