@@ -91,12 +91,20 @@ class PhysicsFlags:
     solver: str = "pcr"               # tridiagonal solve: "pcr" (log-depth
                                       # cyclic reduction, TPU-native) or
                                       # "thomas" (reference operation order)
-    wscale_mode: str = "nodal"        # turbulent velocity scales: "nodal"
-                                      # (the reference's bilinear (zehat,
+    wscale_mode: str = "auto"         # turbulent velocity scales:
+                                      # "auto" -> "analytic" on the TPU
+                                      # f32 production path (exact LMD
+                                      # stability functions — measured
+                                      # 12% faster whole-step, r5;
+                                      # recorded parity waiver in
+                                      # README/BASELINE), "nodal"
+                                      # elsewhere; "nodal" = the
+                                      # reference's bilinear (zehat,
                                       # ustar) interpolation computed
                                       # gather-free from on-the-fly node
-                                      # formula evaluations) or "table"
-                                      # (device-resident lookup table)
+                                      # formula evaluations; "table" =
+                                      # device-resident lookup table
+                                      # (reference operation order)
     pass_impl: str = "auto"           # per-pass implementation:
                                       # "auto" -> fused Pallas kernel on TPU
                                       # (float32, supported flags), fused

@@ -45,8 +45,24 @@ class KppModel:
 
     def __init__(self, cfg: KppConfig, vgrid: Optional[VerticalGrid] = None):
         cfg.validate()
-        self.cfg = cfg
         self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        if cfg.physics.wscale_mode == "auto":
+            # production (TPU f32): exact LMD stability functions — 4x
+            # fewer node evaluations than reconstructing the table
+            # interpolation, measured 12% faster whole-step (BASELINE.md
+            # r5 roofline) and at least as accurate as the table that
+            # discretizes these same formulas.  Parity/CPU runs keep the
+            # reference's interpolation semantics ("nodal").
+            # (the per-column "reference" impl evaluates wscale through
+            # the nodal/table path only, so auto never picks analytic
+            # there)
+            mode = ("analytic" if (self._on_tpu()
+                                   and self.dtype == jnp.float32
+                                   and cfg.physics.pass_impl != "reference")
+                    else "nodal")
+            cfg = cfg.replace(physics=dataclasses.replace(
+                cfg.physics, wscale_mode=mode))
+        self.cfg = cfg
         d = cfg.domain
         if vgrid is None:
             vgrid = make_vertical_grid(
@@ -74,6 +90,13 @@ class KppModel:
         self._step_jit = jax.jit(self._step, static_argnames=("with_diags",))
         self._init_jit = jax.jit(self._init_columns)
 
+    @staticmethod
+    def _on_tpu() -> bool:
+        try:
+            return jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            return False
+
     def _resolve_pass_impl(self) -> str:
         """Pick the per-pass implementation (see PhysicsFlags.pass_impl):
         the fused Pallas kernel on TPU float32, the fused XLA body on CPU /
@@ -86,11 +109,7 @@ class KppModel:
         if choice == "auto":
             if not supported:
                 return "reference"
-            try:
-                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            except Exception:
-                on_tpu = False
-            if on_tpu and self.dtype == jnp.float32:
+            if self._on_tpu() and self.dtype == jnp.float32:
                 # whole-step kernel: bitwise-equal to "pallas" and
                 # measured faster (BASELINE.md r4: 6.9 vs 7.8 ms/step
                 # full, 5.9 vs 6.9 lazy at ncol=16384, nz=69)

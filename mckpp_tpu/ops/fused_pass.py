@@ -190,9 +190,14 @@ def _pcr_solve(cu, cc, cl, rhs, nz, row, za=1):
     r = jnp.where(row < nz, rhs, 0.0)
     s = 1
     while s < nz:
-        ub, db = shr(b, s), shl(b, s)
-        alpha = -a / jnp.where(ub == 0.0, 1.0, ub)
-        beta = -c_ / jnp.where(db == 0.0, 1.0, db)
+        # one reciprocal of b per level, shifted both ways, instead of
+        # two divides (-a/shr(b), -c/shl(b)): divides are ~9x a VPU mul
+        # slot (BASELINE.md r5 rates) and PCR held ~half the pass's
+        # divide budget.  b==0 only on shifted-in fill (padding rows
+        # carry b=1), where alpha/beta multiply a zero anyway.
+        rb = 1.0 / jnp.where(b == 0.0, 1.0, b)
+        alpha = -a * shr(rb, s, fill=1.0)
+        beta = -c_ * shl(rb, s, fill=1.0)
         b = b + alpha * shr(c_, s) + beta * shl(a, s)
         r = r + alpha * shr(r, s) + beta * shl(r, s)
         a = alpha * shr(a, s)

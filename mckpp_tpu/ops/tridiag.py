@@ -106,8 +106,12 @@ def tridmat_pcr(cu, cc, cl, rhs, yo):
         def dn(v):     # v_{i+s}
             return jnp.concatenate([v[s:], jnp.zeros((s,), v.dtype)])
 
-        alpha = -a / jnp.where(up(b) == 0.0, 1.0, up(b))
-        beta = -c_ / jnp.where(dn(b) == 0.0, 1.0, dn(b))
+        # one reciprocal of b per level, shifted both ways (mirrors
+        # fused_pass._pcr_solve so the two PCR implementations remain
+        # bitwise-comparable); divides cost ~9 VPU mul slots
+        rb = 1.0 / jnp.where(b == 0.0, 1.0, b)
+        alpha = -a * jnp.where(up(b) == 0.0, 1.0, up(rb))
+        beta = -c_ * jnp.where(dn(b) == 0.0, 1.0, dn(rb))
         b = b + alpha * up(c_) + beta * dn(a)
         r = r + alpha * up(r) + beta * dn(r)
         a = alpha * up(a)
