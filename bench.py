@@ -20,32 +20,62 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def parity_check(ge, nz):
-    """On-chip correctness oracle: one step of the PRODUCTION kernel (the
-    auto-resolved impl — the whole-step Pallas kernel since r4) vs the
-    fused-XLA body on identical inputs; prints max rel diffs to stderr
-    and aborts the bench on disagreement (so a perf number is never
-    recorded for a wrong kernel)."""
-    if jax.devices()[0].platform not in ("tpu", "axon"):
-        return
-    ncol = 512
+def _parity_one(ge, ncol, nz, pad: bool):
+    """One step of the PRODUCTION kernel vs the fused-XLA body on
+    identical inputs.  ``pad=True`` routes both through the CLI's padded
+    layout (odd production column counts)."""
     model_p, st_p, prm, frc = ge._build(ncol=ncol, nz=nz, dtype="float32")
-    print(json.dumps({"production_impl": model_p.pass_impl}),
-          file=sys.stderr)
     model_x, st_x, _, _ = ge._build(ncol=ncol, nz=nz, dtype="float32",
                                     pass_impl="fused_xla")
-    out_p = model_p.step(st_p, prm, frc, first_step=False)
-    out_x = model_x.step(st_x, prm, frc, first_step=False)
+    if pad:
+        from mckpp_tpu.parallel import sharding as shard
+        from mckpp_tpu.parallel import distributed as dist
+        mesh = shard.make_mesh(jax.devices()[:1])
+        layout = dist.make_layout(
+            ncol, mesh, pad_multiple=model_p.cfg.physics.pass_block)
+        stp = layout.shard_tree(st_p)
+        prm_p = layout.shard_tree(prm)
+        frc_p = layout.shard_tree(frc)
+        step = shard.make_sharded_step(model_p, mesh)
+        out_p = layout.gather_tree(
+            step(stp, prm_p, frc_p, jnp.asarray(False)))
+        out_x = model_x.step(st_x, prm, frc, first_step=False)
+    else:
+        out_p = model_p.step(st_p, prm, frc, first_step=False)
+        out_x = model_x.step(st_x, prm, frc, first_step=False)
     diffs = {}
     for name in ("x", "u", "hmix", "difm", "dift"):
         a = np.asarray(getattr(out_p, name), np.float64)
         b = np.asarray(getattr(out_x, name), np.float64)
         scale = max(np.abs(b).max(), 1e-6)
         diffs[name] = float(np.abs(a - b).max() / scale)
-    print(json.dumps({"parity_pallas_vs_fused_xla_max_rel_diff": diffs}),
-          file=sys.stderr)
-    bad = {k: v for k, v in diffs.items() if v > 1e-5}
-    assert not bad, f"Pallas kernel disagrees with fused-XLA body: {bad}"
+    return model_p.pass_impl, diffs
+
+
+def parity_check(ge, nz):
+    """On-chip correctness oracle over MULTIPLE shapes: the production
+    kernel (whole-step Pallas since r4) vs the fused-XLA body — the bench
+    shape, a different (ncol, nz), and an odd ncol through the CLI's
+    padded layout (compiled-Mosaic behavior is shape-dependent; ADVICE
+    r4).  Prints max rel diffs to stderr and aborts the bench on any
+    disagreement (so a perf number is never recorded for a wrong
+    kernel)."""
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return
+    shapes = [(512, nz, False), (256, 40, False), (300, 33, True)]
+    if os.environ.get("BENCH_PARITY_FAST", "0") == "1":
+        shapes = shapes[:1]
+    impl = None
+    for ncol_s, nz_s, pad in shapes:
+        impl, diffs = _parity_one(ge, ncol_s, nz_s, pad)
+        print(json.dumps({
+            "parity_pallas_vs_fused_xla_max_rel_diff": diffs,
+            "shape": f"ncol={ncol_s} nz={nz_s}{' padded' if pad else ''}"}),
+            file=sys.stderr)
+        bad = {k: v for k, v in diffs.items() if v > 1e-5}
+        assert not bad, (f"Pallas kernel disagrees with fused-XLA body at "
+                         f"ncol={ncol_s} nz={nz_s} pad={pad}: {bad}")
+    print(json.dumps({"production_impl": impl}), file=sys.stderr)
 
 
 def main():
