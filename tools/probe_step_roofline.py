@@ -241,12 +241,53 @@ def step_bytes(ncol, nz):
     return b
 
 
+# ---------------------------------------------------------------------------
+# 4. XLA-optimized work census (cost_analysis of the fused-XLA step)
+# ---------------------------------------------------------------------------
+
+def xla_cost_analysis(ncol, nz, wscale_mode):
+    """Flops / transcendentals / bytes of the OPTIMIZED HLO for the
+    fused-XLA step body — semantically identical to the shipped Pallas
+    kernel (bench.py parity gate: max rel diff 0.0), so its post-fusion
+    cost model is a defensible work census where the raw jaxpr census
+    (section 1) overcounts pre-CSE/DCE ops by ~6x."""
+    import dataclasses as dc
+    import __graft_entry__ as ge
+
+    model, st, prm, frc = ge._build(ncol=ncol, nz=nz, dtype="float32",
+                                    pass_impl="fused_xla")
+    cfg = model.cfg
+    cfg = dc.replace(cfg, physics=dc.replace(cfg.physics,
+                                             wscale_mode=wscale_mode))
+    from mckpp_tpu.models.column_model import KppModel
+    model = KppModel(cfg)
+    out = {}
+    for wd in (False, True):
+        f = jax.jit(lambda s: model._step(s, prm, frc, jnp.asarray(False),
+                                          with_diags=wd))
+        try:
+            ca = f.lower(st).compile().cost_analysis()
+        except Exception as e:                       # pragma: no cover
+            return {"error": f"cost_analysis unavailable: {e}"}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        out["full" if wd else "lazy"] = {
+            "gflops": round(ca.get("flops", 0.0) / 1e9, 3),
+            "gtranscendentals": round(
+                ca.get("transcendentals", 0.0) / 1e9, 3),
+            "bytes_accessed_MB": round(
+                ca.get("bytes accessed", 0.0) / 1e6, 1),
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ncol", type=int, default=16384)
     ap.add_argument("--nz", type=int, default=69)
     ap.add_argument("--wscale", default="nodal")
     ap.add_argument("--skip-kernels", action="store_true")
+    ap.add_argument("--skip-cost", action="store_true")
     a = ap.parse_args()
 
     counts, per_col = pass_census(a.nz, 256, a.wscale)
@@ -279,6 +320,11 @@ def main():
     sb = step_bytes(a.ncol, a.nz)
     print(json.dumps({"step_hbm_bytes_MB": round(sb / 1e6, 1),
                       "hbm_sol_ms_at_819GBs": round(sb / 819e9 * 1e3, 3)}))
+
+    if not a.skip_cost:
+        for mode in ("analytic", "nodal"):
+            print(json.dumps({f"xla_cost_{mode}":
+                              xla_cost_analysis(a.ncol, a.nz, mode)}))
 
     if not a.skip_kernels:
         kt = measure_kernels(a.ncol, a.nz, a.wscale)

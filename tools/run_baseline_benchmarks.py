@@ -84,9 +84,12 @@ def run_cli_config(config, workdir, steps):
     ncol = nx * ny
     phys = timers.get("Physics", (0, float("nan")))[1]
     total = timers.get("Total", (0, wall))[1]
-    n_out = len([f for f in os.listdir(out) if f.endswith(".nc")])
+    ncs = [f for f in os.listdir(out) if f.endswith(".nc")]
+    n_out = len(ncs)
+    out_bytes = sum(os.path.getsize(os.path.join(out, f)) for f in ncs)
     return {
         "config": config, "ncol": ncol, "nz": nz, "steps": steps,
+        "output_bytes": out_bytes,
         "wall_s": round(wall, 2), "model_loop_s": round(total, 2),
         "physics_s": round(phys, 2),
         "col_steps_per_s_steady": steady,
@@ -198,10 +201,13 @@ def run_ensemble(workdir, steps, n_members=10):
     paths = diag.flush()
     written = restart.flush()
     wall = time.perf_counter() - t0
-    n_out = len([f for f in os.listdir(out) if f.endswith(".nc")])
+    ncs = [f for f in os.listdir(out) if f.endswith(".nc")]
+    n_out = len(ncs)
+    out_bytes = sum(os.path.getsize(os.path.join(out, f)) for f in ncs)
     return {
         "config": "ensemble10_dd", "ncol": nx * ny * n_members, "nz": nz,
         "steps": steps, "members": n_members,
+        "output_bytes": out_bytes,
         "model_loop_s": round(wall, 2),
         "physics_s": round(t_phys, 2),
         "diag_s": round(t_diag, 2),
