@@ -135,11 +135,15 @@ class KppModel:
         initial vertical-mixing pass seeds hmix and the two-level history.
         """
         ncol, nzp1 = t0.shape
-        sref = (s0[:, 0] + s0[:, -1]) / 2.0
+        # cast to the model dtype up front: f64 numpy inputs must not
+        # leak f64 sref/ssurf into an f32 model (mixed-dtype scatters)
+        sref = jnp.asarray((s0[:, 0] + s0[:, -1]) / 2.0, self.dtype)
         prm = dataclasses.replace(prm, sref=sref, ssref=sref,
                                   u_init=jnp.asarray(u0, self.dtype))
         st = init_state(ncol, nzp1, self.dtype)
-        x = jnp.stack([t0, s0 - sref[:, None]], axis=-1)
+        x = jnp.stack([jnp.asarray(t0, self.dtype),
+                       jnp.asarray(s0, self.dtype) - sref[:, None]],
+                      axis=-1)
         st = dataclasses.replace(st, u=jnp.asarray(u0, self.dtype),
                                  x=x.astype(self.dtype),
                                  tref=t0[:, 0].astype(self.dtype))
