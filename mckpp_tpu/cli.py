@@ -93,6 +93,10 @@ def main(argv=None):
         # silently truncating every array to f32
         jax.config.update("jax_enable_x64", True)
     mckpp_print(routine, f"read namelist {args.namelist}")
+    for grp, vals in extras.items():
+        # declared-but-inert variables (Fortran sizing params, flags dead
+        # in the reference too) — surfaced, never silently dropped
+        mckpp_print(routine, f"namelist {grp}: not modeled, ignored: {vals}")
     model, st, prm, frc, flux_provider, mgr = setup_mod.build(
         cfg, args.data_dir)
     ncol = st.u.shape[0]

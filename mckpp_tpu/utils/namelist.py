@@ -3,8 +3,12 @@ and map the 12 groups onto :class:`~mckpp_tpu.config.KppConfig`.
 
 Group/variable names follow mckpp_namelists.F90:12-129; defaults and
 derived-quantity semantics follow mckpp_initialize_namelist_mod.F90.
-Unknown variables are collected (not fatal) so reference namelists run
-unchanged even where they set Fortran-only sizing parameters.
+Declared-but-inert variables (Fortran sizing parameters; flags the
+reference stores but never reads) are collected into ``extras`` so
+reference namelists run unchanged; variables OUTSIDE a group's reference
+declaration abort like the Fortran READ would, and non-default values of
+the unimplemented coupled-grid index window refuse loudly (no silent
+drops — see _DECLARED).
 """
 
 from __future__ import annotations
@@ -91,14 +95,85 @@ def _get(groups, gname, var, default=None):
     return groups.get(gname, {}).get(var.upper(), default)
 
 
+# Every variable DECLARED in the reference's namelist groups
+# (mckpp_namelists.F90:12-129).  A variable outside its group's declaration
+# would make the Fortran READ error out, so the ingester refuses it too;
+# a declared variable the config does not model is either dead in the
+# reference as well (stored by mckpp_initialize_constants_mod.F90 and never
+# used, or only used in commented-out code) — accepted and returned in
+# ``extras`` — or live-but-unsupported (the coupled-grid index window
+# ifirst/ilast/jfirst/jlast, README "Intentional deviations"), which aborts
+# on any non-default value rather than silently shifting nothing.
+_DECLARED = {
+    "NAME_ADVEC": {"L_ADVECT", "ADVECT_FILE", "L_RELAX_SST", "RELAX_SST_IN",
+                   "RELAX_SAL_IN", "L_RELAX_CALCONLY", "L_RELAX_SAL",
+                   "L_RELAX_OCNT", "RELAX_OCNT_IN"},
+    "NAME_CONSTANTS": {"GRAV", "VONK", "SBC", "TWOPI", "ONEPI", "TK0", "SPD",
+                       "DPY", "EPSW", "ALBOCN", "SICE", "EL", "SL", "FL",
+                       "FLSN"},
+    "NAME_COUPLE": {"L_COUPLE", "IFIRST", "ILAST", "JFIRST", "JLAST",
+                    "L_CLIMSST", "SSTIN_FILE", "L_UPD_CLIMSST", "NDTUPDSST",
+                    "L_CPLWGHT", "CPLWGHT_FILE", "ICEIN_FILE", "L_CLIMICE",
+                    "L_UPD_CLIMICE", "NDTUPDICE", "L_CLIM_ICE_DEPTH",
+                    "L_CLIM_SNOW_ON_ICE", "L_OUTKELVIN", "L_COUPLE_CURRENTS",
+                    "CURRIN_FILE", "L_CLIMCURR", "L_UPD_CLIMCURR",
+                    "NDTUPDCURR", "L_PERIODIC_CLIMICE", "L_PERIODIC_CLIMSST",
+                    "CLIMSST_PERIOD", "CLIMICE_PERIOD", "L_BAD_ICE_DEPTH"},
+    "NAME_DOMAIN": {"DMAX", "ALON", "ALAT", "DELTA_LAT", "DELTA_LON",
+                    "L_STRETCHGRID", "DSCALE", "L_REGGRID", "L_VGRID_FILE",
+                    "VGRID_FILE"},
+    "NAME_FORCING": {"L_FLUXDATA", "FORCING_FILE", "L_FCORR_WITHZ",
+                     "FCORRIN_FILE", "NDTUPDFCORR", "L_VARY_BOTTOM_TEMP",
+                     "NDTUPDBOTTOM", "BOTTOMIN_FILE", "L_FCORR",
+                     "L_UPD_FCORR", "L_UPD_BOTTOM_TEMP", "L_REST",
+                     "L_PERIODIC_FCORR", "L_PERIODIC_BOTTOM_TEMP",
+                     "FCORR_PERIOD", "L_SFCORR_WITHZ", "SFCORRIN_FILE",
+                     "NDTUPDSFCORR", "L_SFCORR", "L_UPD_SFCORR",
+                     "L_PERIODIC_SFCORR", "SFCORR_PERIOD",
+                     "BOTTOM_TEMP_PERIOD", "SAL_FILE", "L_UPD_SAL",
+                     "L_PERIODIC_SAL", "SAL_PERIOD", "NDTUPDSAL",
+                     "OCNT_FILE", "L_UPD_OCNT", "L_PERIODIC_OCNT",
+                     "OCNT_PERIOD", "NDTUPDOCNT", "L_NO_FREEZE",
+                     "L_NO_ISOTHERM", "ISOTHERM_BOTTOM",
+                     "ISOTHERM_THRESHOLD", "L_DAMP_CURR", "DTUVDAMP",
+                     "L_INTERP_OCNT", "NDT_INTERP_OCNT", "L_INTERP_SAL",
+                     "NDT_INTERP_SAL"},
+    "NAME_LANDSEA": {"L_LANDSEA", "LANDSEA_FILE"},
+    # IODEF_FILE / L_RESTART_NETCDF are this framework's extensions
+    "NAME_OUTPUT": {"L_RESTARTW", "RESTART_OUTFILE", "NDT_PER_RESTART",
+                    "IODEF_FILE", "L_RESTART_NETCDF"},
+    "NAME_PARAMETERS": {"NZ", "NDIM", "NX", "NY", "NVEL", "NSCLR", "NSB",
+                        "ITERMAX", "HMIXTOLFRAC", "NGRID", "NZL", "NZU",
+                        "NZDIVMAX", "NZTMAX", "IGRIDMAX", "NSFLXS", "NJDT",
+                        "NDHARM", "MAXMODEADV", "MR", "NX_GLOBE",
+                        "NY_GLOBE"},
+    "NAME_PARAS": {"PARAS_FILE", "L_JERLOV"},
+    "NAME_PROCSWIT": {"LKPP", "LRI", "LDD", "LICE", "LBIO", "LNBFLX",
+                      "LTGRID", "LRHS", "L_SSREF"},
+    "NAME_START": {"L_INITDATA", "INITDATA_FILE", "L_INTERPINIT",
+                   "L_RESTART", "RESTART_INFILE"},
+    "NAME_TIMES": {"DTSEC", "STARTT", "FINALT", "NDTOCN", "NYEAR"},
+}
+
+
 def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
     """Build a KppConfig from reference namelist text.
 
-    Returns (config, extras) where extras holds values the config does not
-    model (Fortran array-sizing parameters etc.).
+    Returns (config, extras) where extras holds declared-but-inert values
+    the config does not model: Fortran array-sizing parameters
+    (NAME_PARAMETERS nztmax/ngrid/... — shapes derive from data here) and
+    flags that are dead in the reference too (LBIO, L_OUTKELVIN, the
+    commented-out current-climatology controls, nyear).  An UNDECLARED
+    variable raises, as the Fortran READ would; a non-default coupled-grid
+    index window (ifirst/ilast/jfirst/jlast) raises because index-wired
+    subdomain addressing is an intentional deviation (README).
     """
     g = parse_namelist(text)
-    get = lambda grp, var, d=None: _get(g, grp, var, d)
+    consumed = set()
+
+    def get(grp, var, d=None):
+        consumed.add((grp.upper(), var.upper()))
+        return _get(g, grp, var, d)
 
     # NAME_CONSTANTS: the 15 overridable physical constants
     # (mckpp_initialize_namelist_mod.F90:92-107).  Unknown variable names
@@ -243,11 +318,40 @@ def config_from_namelist(text: str) -> Tuple[KppConfig, Dict[str, Any]]:
     cfg = KppConfig(domain=domain, time=time, physics=physics,
                     forcing=forcing, boundary=boundary, init=init,
                     output=output, constants=constants)
-    known_groups = {"NAME_PARAMETERS", "NAME_CONSTANTS", "NAME_PROCSWIT",
-                    "NAME_DOMAIN", "NAME_LANDSEA", "NAME_START", "NAME_TIMES",
-                    "NAME_COUPLE", "NAME_ADVEC", "NAME_PARAS", "NAME_FORCING",
-                    "NAME_OUTPUT"}
-    extras = {k: v for k, v in g.items() if k not in known_groups}
+    # Unknown GROUPS pass through to extras: the Fortran READs seek each
+    # named group and skip everything else in the file.  Within a known
+    # group, every unconsumed variable is checked against the reference's
+    # declaration (see _DECLARED).
+    extras: Dict[str, Any] = {k: dict(v) for k, v in g.items()
+                              if k not in _DECLARED}
+    couple_defaults = {"IFIRST": 1, "ILAST": domain.nx,
+                       "JFIRST": 1, "JLAST": domain.ny}
+    for grp, declared in _DECLARED.items():
+        if grp == "NAME_CONSTANTS":
+            continue                     # fully validated above
+        for var, val in g.get(grp, {}).items():
+            if (grp, var) in consumed:
+                continue
+            base = re.sub(r"\(\d+\)$", "", var)
+            if base not in declared:
+                raise ValueError(
+                    f"unknown namelist variable {var} in {grp} — the "
+                    "reference's READ rejects variables outside the "
+                    "group declaration (mckpp_namelists.F90:12-129)")
+            if base != var:
+                raise ValueError(
+                    f"indexed namelist assignment {grp}%{var} is not "
+                    f"supported — write the whole {base} array instead")
+            if base in couple_defaults and int(val) != couple_defaults[base]:
+                raise ValueError(
+                    f"{grp}%{base}={val}: coupled-grid index addressing "
+                    "(ifirst/ilast/jfirst/jlast != domain window) is not "
+                    "implemented — subdomains are selected by lon/lat "
+                    "coordinate match (README 'Intentional deviations'; "
+                    "mckpp_physics_overrides.F90:28-39)")
+            # declared but inert (dead in the reference too, or Fortran
+            # array sizing): accept and surface in extras
+            extras.setdefault(grp, {})[var] = val
     return cfg, extras
 
 
